@@ -1,0 +1,436 @@
+"""E2 backend: compile a SpecNode tree into Spark ``Column`` predicates.
+
+This is the engine's "compiler backend" (SURVEY.md §2 B5): every draft-03/04
+keyword from Part A becomes a JVM-side Column expression — whole-stage
+codegen, zero per-row Python (BASELINE.json:15). One compiled table spec
+yields:
+
+- ``row_checks``: list of CheckExpr (keyword, path, null-safe predicate,
+  offending-value column) — evaluated in a single ``select`` producing an
+  ``array<struct<keyword,path,value>>`` per row, then ``filter`` + ``explode``
+  (SURVEY.md B5/B6).
+- per-column stats expressions for the fused single-scan stats pass (B14).
+
+Null semantics (matches the E1 evaluator / JSON Schema): a NULL cell means
+"property absent" — only ``required`` fires on it; every other keyword's
+predicate is null-forgiving via ``coalesce(pred, true)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .formats import FORMAT_REGEXES
+from .spec import Spec, SpecNode
+from . import sqlglue
+
+VIOLATION_STRUCT = T.StructType(
+    [
+        T.StructField("keyword", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class CheckExpr:
+    keyword: str
+    path: str            # JSON-Pointer-style path, e.g. "/w"
+    column: str          # top-level source column the check reads
+    ok: Column           # True/Null = row passes (null-forgiving already applied)
+    value: Column        # offending value rendered as string
+
+    @property
+    def check_id(self) -> str:
+        return f"{self.keyword}@{self.path}"
+
+
+class CompileError(ValueError):
+    pass
+
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _is_numeric(dt: T.DataType | None) -> bool:
+    return isinstance(dt, _NUMERIC)
+
+
+def _spark_type_matches(dt: T.DataType | None, jt: str) -> bool | None:
+    """Static check of a Spark dtype against a JSON type name.
+
+    Returns True (always matches), False (never), or None (runtime check
+    needed — e.g. ``integer`` over a double column)."""
+    if dt is None or jt == "any":
+        return True if jt in ("any",) else None
+    if jt == "string":
+        return isinstance(dt, (T.StringType, T.BinaryType, T.TimestampType, T.DateType))
+    if jt == "boolean":
+        return isinstance(dt, T.BooleanType)
+    if jt == "number":
+        return _is_numeric(dt)
+    if jt == "integer":
+        if isinstance(dt, _INTEGRAL):
+            return True
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return None  # runtime: integral-valued?
+        return False
+    if jt == "array":
+        return isinstance(dt, T.ArrayType)
+    if jt == "object":
+        return isinstance(dt, (T.StructType, T.MapType))
+    if jt == "null":
+        return None  # runtime isNull
+    return False
+
+
+def _forgive_null(col: Column, pred: Column) -> Column:
+    return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
+
+
+def node_valid(node: SpecNode, col: Column, dt: T.DataType | None) -> Column:
+    """Single boolean Column: does `col` satisfy the whole (sub)schema?
+    Used inside combinators (anyOf/oneOf/not) and array lambdas."""
+    checks = compile_node(node, col, path="", column="<sub>", dt=dt)
+    if not checks:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, (c.ok for c in checks))
+
+
+def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
+    node: SpecNode, col: Column, path: str, column: str, dt: T.DataType | None
+) -> list[CheckExpr]:
+    """Compile one SpecNode against one Column. Returns null-forgiving checks."""
+    out: list[CheckExpr] = []
+    sval = col.cast("string")
+
+    def add(keyword: str, ok: Column, p: str | None = None, value: Column | None = None):
+        out.append(CheckExpr(keyword, p if p is not None else path, column,
+                             ok, value if value is not None else sval))
+
+    # --- A1 type ---------------------------------------------------------
+    if node.type is not None:
+        alts: list[Column] = []
+        always = False
+        for jt in node.type:
+            m = _spark_type_matches(dt, jt)
+            if m is True:
+                always = True
+                break
+            if m is None:
+                if jt == "integer" and _is_numeric(dt):
+                    alts.append(col == F.floor(col))
+                elif jt == "null":
+                    alts.append(col.isNull())
+                else:
+                    alts.append(F.lit(True))  # unknown dtype: permissive
+        if not always:
+            pred = reduce(lambda a, b: a | b, alts) if alts else F.lit(False)
+            add("type", _forgive_null(col, pred))
+
+    # --- A21 disallow (d3) ----------------------------------------------
+    if node.disallow is not None:
+        bad: list[Column] = []
+        for d in node.disallow:
+            if isinstance(d, str):
+                m = _spark_type_matches(dt, d)
+                if m is True:
+                    bad.append(F.lit(True))
+                elif m is None:
+                    if d == "integer" and _is_numeric(dt):
+                        bad.append(col == F.floor(col))
+                    elif d == "null":
+                        bad.append(col.isNull())
+            else:
+                bad.append(node_valid(d, col, dt))
+        if bad:
+            pred = ~reduce(lambda a, b: a | b, bad)
+            add("disallow", _forgive_null(col, pred))
+
+    # --- A2/A3 enum & const ----------------------------------------------
+    if node.enum is not None:
+        lits = [v for v in node.enum if v is not None and not isinstance(v, (list, dict))]
+        allows_null = any(v is None for v in node.enum)
+        pred = col.isin(*lits) if lits else F.lit(False)
+        if allows_null:
+            add("enum", F.coalesce(pred, col.isNull()))
+        else:
+            add("enum", _forgive_null(col, pred))
+    if node.has_const:
+        if node.const is None:
+            add("const", col.isNull())
+        else:
+            add("const", _forgive_null(col, col == F.lit(node.const)))
+
+    # --- A4–A6 numeric bounds ---------------------------------------------
+    if _is_numeric(dt) or dt is None:
+        if node.minimum is not None:
+            kw = "exclusiveMinimum" if node.exclusive_minimum else "minimum"
+            pred = col > F.lit(node.minimum) if node.exclusive_minimum else col >= F.lit(node.minimum)
+            add(kw, _forgive_null(col, pred))
+        if node.maximum is not None:
+            kw = "exclusiveMaximum" if node.exclusive_maximum else "maximum"
+            pred = col < F.lit(node.maximum) if node.exclusive_maximum else col <= F.lit(node.maximum)
+            add(kw, _forgive_null(col, pred))
+        if node.multiple_of is not None:
+            k = node.multiple_of
+            if isinstance(k, int) and isinstance(dt, _INTEGRAL):
+                pred = F.pmod(col, F.lit(k)) == 0
+            else:
+                q = col / F.lit(float(k))
+                pred = F.abs(q - F.round(q)) < F.lit(1e-9)
+            add("multipleOf", _forgive_null(col, pred))
+
+    # --- A7–A9, A23–A30 string checks --------------------------------------
+    if isinstance(dt, T.StringType) or dt is None:
+        if node.min_length is not None:
+            add("minLength", _forgive_null(col, F.length(col) >= node.min_length))
+        if node.max_length is not None:
+            add("maxLength", _forgive_null(col, F.length(col) <= node.max_length))
+        if node.pattern is not None:
+            add("pattern", _forgive_null(col, col.rlike(sqlglue.to_java_regex(node.pattern))))
+        if node.format is not None and node.format in FORMAT_REGEXES:
+            add("format", _forgive_null(col, col.rlike(FORMAT_REGEXES[node.format])))
+
+    # --- A10–A13 arrays ------------------------------------------------------
+    if isinstance(dt, T.ArrayType) or (dt is None and (
+            node.items or node.tuple_items or node.min_items is not None
+            or node.max_items is not None or node.unique_items or node.contains)):
+        elem_dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+        if node.min_items is not None:
+            add("minItems", _forgive_null(col, F.size(col) >= node.min_items))
+        if node.max_items is not None:
+            add("maxItems", _forgive_null(col, F.size(col) <= node.max_items))
+        if node.unique_items:
+            add("uniqueItems", _forgive_null(col, F.size(col) == F.size(F.array_distinct(col))))
+        if node.items is not None and not node.items.is_trivial():
+            sub = node.items
+            add("items",
+                _forgive_null(col, F.forall(col, lambda x: node_valid(sub, x, elem_dt))),
+                value=F.to_json(F.filter(col, lambda x: ~F.coalesce(node_valid(sub, x, elem_dt), F.lit(False))))
+                if elem_dt is not None else sval)
+        if node.tuple_items is not None:
+            for i, sub in enumerate(node.tuple_items):
+                if sub.is_trivial():
+                    continue
+                el = F.element_at(col, i + 1)
+                ok = F.when(F.size(col) > i, node_valid(sub, el, elem_dt)).otherwise(F.lit(True))
+                add("items", _forgive_null(col, ok), p=f"{path}/{i}", value=el.cast("string"))
+            if node.additional_items is False:
+                add("additionalItems", _forgive_null(col, F.size(col) <= len(node.tuple_items)))
+            elif isinstance(node.additional_items, SpecNode) and not node.additional_items.is_trivial():
+                ai = node.additional_items
+                n0 = len(node.tuple_items)
+                extras_ok = F.forall(
+                    F.slice(col, n0 + 1, F.greatest(F.size(col) - n0, F.lit(0))),
+                    lambda x: node_valid(ai, x, elem_dt),
+                )
+                add("additionalItems",
+                    _forgive_null(col, F.when(F.size(col) <= n0, F.lit(True)).otherwise(extras_ok)))
+        if node.contains is not None:
+            sub = node.contains
+            add("contains", _forgive_null(col, F.exists(col, lambda x: node_valid(sub, x, elem_dt))))
+
+    # --- A15–A17 objects -----------------------------------------------------
+    if isinstance(dt, T.StructType):
+        fields = {f.name: f.dataType for f in dt.fields}
+        if node.required is not None:
+            for name in node.required:
+                if name in fields:
+                    add("required", col.isNull() | col.getField(name).isNotNull(),
+                        p=f"{path}/{name}", value=F.lit(None).cast("string"))
+                else:
+                    add("required", col.isNull(), p=f"{path}/{name}",
+                        value=F.lit(None).cast("string"))
+        for name, sub in node.properties.items():
+            if name in fields:
+                out.extend(compile_node(sub, col.getField(name), f"{path}/{name}", column, fields[name]))
+                if sub.d3_required:
+                    add("required", col.isNull() | col.getField(name).isNotNull(),
+                        p=f"{path}/{name}", value=F.lit(None).cast("string"))
+            elif sub.d3_required or (node.required and name in node.required):
+                pass  # handled above / missing field => required already emitted
+        if node.additional_properties is False:
+            extras = [n for n in fields if n not in node.properties]
+            import re as _re
+            extras = [n for n in extras
+                      if not any(_re.search(p, n) for p in node.pattern_properties)]
+            for n in extras:
+                add("additionalProperties", col.isNull() | col.getField(n).isNull(),
+                    p=f"{path}/{n}", value=col.getField(n).cast("string"))
+        if node.min_properties is not None:
+            # struct arity is static; count non-null fields at runtime
+            cnt = reduce(lambda a, b: a + b,
+                         [col.getField(f).isNotNull().cast("int") for f in fields]) if fields else F.lit(0)
+            add("minProperties", _forgive_null(col, cnt >= node.min_properties))
+        if node.max_properties is not None:
+            cnt = reduce(lambda a, b: a + b,
+                         [col.getField(f).isNotNull().cast("int") for f in fields]) if fields else F.lit(0)
+            add("maxProperties", _forgive_null(col, cnt <= node.max_properties))
+        for name, dep in node.dependencies.items():
+            if name not in fields:
+                continue
+            present = col.getField(name).isNotNull()
+            if isinstance(dep, tuple):
+                for d in dep:
+                    need = col.getField(d).isNotNull() if d in fields else F.lit(False)
+                    add("dependencies", _forgive_null(col, F.when(present, need).otherwise(F.lit(True))),
+                        p=f"{path}/{d}")
+            else:
+                add("dependencies",
+                    _forgive_null(col, F.when(present, node_valid(dep, col, dt)).otherwise(F.lit(True))))
+    elif isinstance(dt, T.MapType):
+        if node.required is not None:
+            for name in node.required:
+                add("required", col.isNull() | F.map_contains_key(col, F.lit(name)),
+                    p=f"{path}/{name}", value=F.lit(None).cast("string"))
+        for name, sub in node.properties.items():
+            v = F.element_at(col, F.lit(name))
+            out.extend(compile_node(sub, v, f"{path}/{name}", column, dt.valueType))
+        for pat, sub in node.pattern_properties.items():
+            jpat = sqlglue.to_java_regex(pat)
+            ok = F.forall(
+                F.map_values(F.map_filter(col, lambda k, _v: k.rlike(jpat))),
+                lambda v: node_valid(sub, v, dt.valueType),
+            )
+            add("patternProperties", _forgive_null(col, ok), p=f"{path}")
+        if node.additional_properties is False:
+            import re as _re  # noqa: F401 — compile-time only
+            names = list(node.properties)
+            pats = [sqlglue.to_java_regex(p) for p in node.pattern_properties]
+            def _extra(k: Column) -> Column:
+                known = k.isin(*names) if names else F.lit(False)
+                for jp in pats:
+                    known = known | k.rlike(jp)
+                return ~known
+            ok = F.size(F.filter(F.map_keys(col), _extra)) == 0
+            add("additionalProperties", _forgive_null(col, ok))
+        if node.min_properties is not None:
+            add("minProperties", _forgive_null(col, F.size(col) >= node.min_properties))
+        if node.max_properties is not None:
+            add("maxProperties", _forgive_null(col, F.size(col) <= node.max_properties))
+        for name, dep in node.dependencies.items():
+            present = F.map_contains_key(col, F.lit(name))
+            if isinstance(dep, tuple):
+                for d in dep:
+                    add("dependencies",
+                        _forgive_null(col, F.when(present, F.map_contains_key(col, F.lit(d))).otherwise(F.lit(True))),
+                        p=f"{path}/{d}")
+
+    # --- A18–A21 combinators ---------------------------------------------------
+    if node.all_of is not None:
+        for sub in node.all_of:
+            out.extend(compile_node(sub, col, path, column, dt))
+    if node.any_of is not None:
+        pred = reduce(lambda a, b: a | b, [node_valid(s, col, dt) for s in node.any_of])
+        add("anyOf", _forgive_null(col, pred))
+    if node.one_of is not None:
+        cnt = reduce(lambda a, b: a + b,
+                     [F.coalesce(node_valid(s, col, dt), F.lit(False)).cast("int") for s in node.one_of])
+        add("oneOf", _forgive_null(col, cnt == 1))
+    if node.not_ is not None:
+        add("not", _forgive_null(col, ~F.coalesce(node_valid(node.not_, col, dt), F.lit(False))))
+
+    return out
+
+
+# --------------------------------------------------------------------------
+# Table-level compilation
+# --------------------------------------------------------------------------
+
+@dataclass
+class CompiledTableSpec:
+    checks: list[CheckExpr]
+    columns: list[str]                 # source columns the row pass must read
+    spec: Spec
+
+    def violations_array(self) -> Column:
+        """array<struct<keyword,path,value>> of this row's violations —
+        ONE projection, zero per-row Python (SURVEY.md B5)."""
+        structs = [
+            F.when(
+                ~F.coalesce(c.ok, F.lit(False)),
+                F.struct(
+                    F.lit(c.keyword).alias("keyword"),
+                    F.lit(c.path).alias("path"),
+                    c.value.alias("value"),
+                ),
+            )
+            for c in self.checks
+        ]
+        if not structs:
+            return F.array().cast(T.ArrayType(VIOLATION_STRUCT))
+        arr = F.array(*structs)
+        return F.filter(arr, lambda x: x.isNotNull())
+
+    def row_valid(self) -> Column:
+        if not self.checks:
+            return F.lit(True)
+        return reduce(lambda a, b: a & b,
+                      (F.coalesce(c.ok, F.lit(False)) for c in self.checks))
+
+    def check_ids(self) -> list[str]:
+        return sorted({c.check_id for c in self.checks})
+
+
+def compile_table(spec: Spec, schema: T.StructType) -> CompiledTableSpec:
+    """Compile a root object-spec against a flat DataFrame schema: each
+    ``properties`` entry maps to a top-level column (SURVEY.md §1.2)."""
+    root = spec.root
+    fields = {f.name: f.dataType for f in schema.fields}
+    checks: list[CheckExpr] = []
+    used: set[str] = set()
+
+    if root.required is not None:
+        for name in root.required:
+            if name in fields:
+                checks.append(CheckExpr("required", f"/{name}", name,
+                                        F.col(name).isNotNull(), F.lit(None).cast("string")))
+                used.add(name)
+            # column absent entirely => static schema violation, raised below
+
+    missing = [n for n in (root.required or ()) if n not in fields]
+    if missing:
+        raise CompileError(f"required columns absent from table schema: {missing}")
+
+    for name, sub in root.properties.items():
+        if name not in fields:
+            if sub.d3_required:
+                raise CompileError(f"required column absent: {name}")
+            continue
+        used.add(name)
+        checks.extend(compile_node(sub, F.col(name), f"/{name}", name, fields[name]))
+        if sub.d3_required:
+            checks.append(CheckExpr("required", f"/{name}", name,
+                                    F.col(name).isNotNull(), F.lit(None).cast("string")))
+
+    if root.additional_properties is False:
+        import re as _re
+        extras = [
+            n for n in fields
+            if n not in root.properties
+            and not any(_re.search(p, n) for p in root.pattern_properties)
+            and n != "part_id"
+        ]
+        if extras:
+            raise CompileError(f"additionalProperties:false but table has extra columns: {extras}")
+
+    for pat, sub in root.pattern_properties.items():
+        import re as _re
+        for name in fields:
+            if _re.search(pat, name) and name not in root.properties:
+                used.add(name)
+                checks.extend(compile_node(sub, F.col(name), f"/{name}", name, fields[name]))
+
+    return CompiledTableSpec(checks=checks, columns=sorted(used), spec=spec)

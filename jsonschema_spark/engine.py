@@ -1,0 +1,159 @@
+"""E2 — ``validate_table``: the set-oriented DataFrame API (SURVEY.md §3 E2).
+
+Compiles a JSONSchema-style spec and runs the four passes:
+  P1 row predicates + fused column stats   (passes/stats.py)
+  P2 salted uniqueness                     (passes/uniqueness.py)
+  P3 broadcast/shuffle-hash referential    (passes/referential.py)
+  P4 histogram + KS/PSI drift              (passes/drift.py)
+
+Violation streams are unioned into one schema (B23); verdicts are assembled
+per (partition, check) (B18). Nothing here collects fact-scale data to the
+driver — violations/verdicts are returned as DataFrames for the caller to
+sink (B3) or aggregate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compile_spark import CompiledTableSpec, compile_table
+from .spec import Spec, parse
+from .passes import stats as P1
+from .passes import uniqueness as P2
+from .passes import referential as P3
+from .passes import drift as P4
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame       # (part_id, row_key, keyword, path, value)
+    verdicts: DataFrame         # (part_id, check_id, keyword, path, passed, n_violations)
+    stats: DataFrame | None     # per-partition column stats (long format)
+    drift_metrics: DataFrame | None
+    compiled: CompiledTableSpec
+
+
+def recommended_conf(parallelism: int = 32) -> dict[str, str]:
+    """Spark confs the engine is designed around (SURVEY.md §4, BASELINE.md)."""
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": str(max(parallelism * 4, 32)),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }
+
+
+def get_session(app: str = "jsonschema-spark", master: str | None = None,
+                parallelism: int | None = None) -> SparkSession:
+    import os
+
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = SparkSession.builder.appName(app)
+    b = b.master(master or f"local[{cpus}]")
+    for k, v in recommended_conf(cpus).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def validate_table(
+    fact: DataFrame,
+    spec: dict[str, Any] | Spec,
+    dims: dict[str, DataFrame] | None = None,
+    baseline: DataFrame | None = None,
+    key_col: str = "image_id",
+    part_col: str = "part_id",
+    top_k: int | None = None,
+    with_stats: bool = True,
+    drift_columns: list[P4.DriftColumn] | None = None,
+) -> ValidationResult:
+    if not isinstance(spec, Spec):
+        spec = parse(spec)
+    dims = dims or {}
+    compiled = compile_table(spec, fact.schema)
+    all_parts = fact.select(F.col(part_col).alias("part_id")).distinct()
+
+    streams: list[DataFrame] = []
+    verdict_streams: list[DataFrame] = []
+
+    # P1 — row predicates
+    viol1 = P1.row_violations(fact, compiled, key_col=key_col, part_col=part_col)
+    counts1 = P1.violation_counts(viol1)
+    verdict_streams.append(P1.verdicts_from_violations(counts1, all_parts, compiled.check_ids()))
+    streams.append(viol1 if top_k is None else P1.row_violations(
+        fact, compiled, key_col=key_col, part_col=part_col, top_k=top_k))
+
+    # P2 — uniqueness
+    for key_cols in spec.table_checks.unique:
+        v = P2.uniqueness_violations(fact, list(key_cols), key_col=key_col, part_col=part_col)
+        streams.append(v)
+        verdict_streams.append(P2.uniqueness_verdicts(v, all_parts, list(key_cols)))
+
+    # P3 — referential
+    for ref in spec.table_checks.references:
+        dim_name = ref["dim"]
+        if dim_name not in dims:
+            raise KeyError(f"referential check needs dim table {dim_name!r}")
+        v = P3.referential_violations(
+            fact, dims[dim_name], fact_key=ref["column"], dim_key=ref["key"],
+            key_col=key_col, part_col=part_col,
+            strategy=ref.get("strategy", "broadcast"), dim_name=dim_name,
+        )
+        streams.append(v)
+        cnt = v.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_violations"))
+        path = f"/{ref['column']}->{dim_name}.{ref['key']}"
+        verdict_streams.append(
+            all_parts.join(cnt, "part_id", "left")
+            .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
+            .select(
+                "part_id",
+                F.lit(f"references@{path}").alias("check_id"),
+                F.lit("references").alias("keyword"),
+                F.lit(path).alias("path"),
+                (F.col("n_violations") == 0).alias("passed"),
+                "n_violations",
+            )
+        )
+
+    # P4 — drift
+    drift_df = None
+    dcfg = spec.table_checks.drift
+    if dcfg is not None and baseline is not None and drift_columns:
+        obs = P4.observed_histograms(fact, drift_columns, part_col=part_col)
+        drift_df = P4.drift_metrics(obs, baseline)
+        verdict_streams.append(
+            P4.drift_verdicts(
+                drift_df,
+                ks_alpha=dcfg.get("ks_alpha", 0.01),
+                psi_max=dcfg.get("psi_max", 0.2),
+            )
+        )
+
+    # fused stats (B14/B15) — optional, never scans `bytes`
+    stats_df = None
+    if with_stats and compiled.columns:
+        stat_cols = [c for c in compiled.columns
+                     if fact.schema[c].dataType.typeName() != "binary"]
+        if stat_cols:
+            stats_df = P1.column_stats(fact, stat_cols, part_col=part_col)
+
+    violations = streams[0]
+    for s in streams[1:]:
+        violations = violations.unionByName(s)
+    verdicts = verdict_streams[0]
+    for v in verdict_streams[1:]:
+        verdicts = verdicts.unionByName(v)
+
+    return ValidationResult(
+        violations=violations,
+        verdicts=verdicts,
+        stats=stats_df,
+        drift_metrics=drift_df,
+        compiled=compiled,
+    )

@@ -1,0 +1,220 @@
+"""E1: single-document ``validate(doc, spec) -> [Violation]`` evaluator.
+
+The reference-parity path (SURVEY.md §3 E1, BASELINE.json:6
+"validate(doc)->violations"). Pure Python, driver-side, no Spark imports.
+Exists to (a) pass the authored JSTS-shape conformance corpus
+(tests/conformance/) and (b) differentially cross-check the Spark backend:
+both consume the same SpecNode tree from ``spec.py``.
+
+Semantics are draft-04 with these documented choices (SURVEY.md §5.1):
+- ``1.0`` counts as an integer (draft-6 alignment; the corpus pins this).
+- Python ``bool`` is NOT a number/integer (JSON true/false are a distinct type).
+- ``minimum``/``maximum`` etc. ignore instances of non-matching type.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from .spec import Spec, SpecNode, parse_node
+from .formats import FORMAT_CHECKERS
+
+
+@dataclass(frozen=True)
+class Violation:
+    keyword: str
+    path: str      # JSON-Pointer into the instance ("" = root)
+    value: Any     # the offending value
+
+    def as_tuple(self) -> tuple[str, str, Any]:
+        return (self.keyword, self.path, self.value)
+
+
+def json_type(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    raise TypeError(f"not a JSON value: {type(v).__name__}")
+
+
+def _type_matches(v: Any, t: str) -> bool:
+    jt = json_type(v)
+    if t == "any":
+        return True
+    if t == "number":
+        return jt in ("number", "integer")
+    if t == "integer":
+        # 1.0 is an integer (pinned: SURVEY.md §5.1)
+        return jt == "integer" or (jt == "number" and float(v).is_integer())
+    return jt == t
+
+
+def _json_eq(a: Any, b: Any) -> bool:
+    """Deep JSON equality: 1 == 1.0 but True != 1."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool):
+        return a == b
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, list):
+        return len(a) == len(b) and all(_json_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict):
+        return a.keys() == b.keys() and all(_json_eq(a[k], b[k]) for k in a)
+    return a == b
+
+
+def _is_num(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def validate(doc: Any, schema: dict | bool | Spec | SpecNode) -> list[Violation]:
+    """The reference API: validate one JSON document, return violations."""
+    if isinstance(schema, Spec):
+        node = schema.root
+    elif isinstance(schema, SpecNode):
+        node = schema
+    else:
+        node = parse_node(schema)
+    out: list[Violation] = []
+    _eval(doc, node, "", out)
+    return out
+
+
+def is_valid(doc: Any, schema: dict | bool | Spec | SpecNode) -> bool:
+    return not validate(doc, schema)
+
+
+def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa: C901
+    if n.type is not None and not any(_type_matches(v, t) for t in n.type):
+        out.append(Violation("type", path, v))
+    if n.disallow is not None:
+        for d in n.disallow:
+            bad = _type_matches(v, d) if isinstance(d, str) else not _eval_quiet(v, d)
+            if bad:
+                out.append(Violation("disallow", path, v))
+                break
+    if n.enum is not None and not any(_json_eq(v, e) for e in n.enum):
+        out.append(Violation("enum", path, v))
+    if n.has_const and not _json_eq(v, n.const):
+        out.append(Violation("const", path, v))
+
+    if _is_num(v):
+        if n.minimum is not None:
+            ok = v > n.minimum if n.exclusive_minimum else v >= n.minimum
+            if not ok:
+                out.append(Violation("exclusiveMinimum" if n.exclusive_minimum else "minimum", path, v))
+        if n.maximum is not None:
+            ok = v < n.maximum if n.exclusive_maximum else v <= n.maximum
+            if not ok:
+                out.append(Violation("exclusiveMaximum" if n.exclusive_maximum else "maximum", path, v))
+        if n.multiple_of is not None:
+            q = v / n.multiple_of
+            if abs(q - round(q)) > 1e-9:
+                out.append(Violation("multipleOf", path, v))
+
+    if isinstance(v, str):
+        if n.min_length is not None and len(v) < n.min_length:
+            out.append(Violation("minLength", path, v))
+        if n.max_length is not None and len(v) > n.max_length:
+            out.append(Violation("maxLength", path, v))
+        if n.pattern is not None and not re.search(n.pattern, v):
+            out.append(Violation("pattern", path, v))
+        if n.format is not None:
+            chk = FORMAT_CHECKERS.get(n.format)
+            if chk is not None and not chk(v):
+                out.append(Violation("format", path, v))
+
+    if isinstance(v, list):
+        if n.min_items is not None and len(v) < n.min_items:
+            out.append(Violation("minItems", path, v))
+        if n.max_items is not None and len(v) > n.max_items:
+            out.append(Violation("maxItems", path, v))
+        if n.unique_items:
+            seen: list[Any] = []
+            for x in v:
+                if any(_json_eq(x, y) for y in seen):
+                    out.append(Violation("uniqueItems", path, v))
+                    break
+                seen.append(x)
+        if n.items is not None:
+            for i, x in enumerate(v):
+                _eval(x, n.items, f"{path}/{i}", out)
+        if n.tuple_items is not None:
+            for i, x in enumerate(v):
+                if i < len(n.tuple_items):
+                    _eval(x, n.tuple_items[i], f"{path}/{i}", out)
+                elif n.additional_items is False:
+                    out.append(Violation("additionalItems", f"{path}/{i}", x))
+                elif isinstance(n.additional_items, SpecNode):
+                    _eval(x, n.additional_items, f"{path}/{i}", out)
+        if n.contains is not None and not any(_eval_quiet(x, n.contains) for x in v):
+            out.append(Violation("contains", path, v))
+
+    if isinstance(v, dict):
+        if n.required is not None:
+            for name in n.required:
+                if name not in v:
+                    out.append(Violation("required", f"{path}/{name}", None))
+        if n.min_properties is not None and len(v) < n.min_properties:
+            out.append(Violation("minProperties", path, v))
+        if n.max_properties is not None and len(v) > n.max_properties:
+            out.append(Violation("maxProperties", path, v))
+        matched: set[str] = set()
+        for name, sub in n.properties.items():
+            if name in v:
+                matched.add(name)
+                _eval(v[name], sub, f"{path}/{name}", out)
+            elif sub.d3_required:
+                out.append(Violation("required", f"{path}/{name}", None))
+        for pat, sub in n.pattern_properties.items():
+            for name in v:
+                if re.search(pat, name):
+                    matched.add(name)
+                    _eval(v[name], sub, f"{path}/{name}", out)
+        if n.additional_properties is not None:
+            extras = [k for k in v if k not in matched and k not in n.properties]
+            if n.additional_properties is False:
+                for k in extras:
+                    out.append(Violation("additionalProperties", f"{path}/{k}", v[k]))
+            elif isinstance(n.additional_properties, SpecNode):
+                for k in extras:
+                    _eval(v[k], n.additional_properties, f"{path}/{k}", out)
+        for name, dep in n.dependencies.items():
+            if name in v:
+                if isinstance(dep, tuple):
+                    for d in dep:
+                        if d not in v:
+                            out.append(Violation("dependencies", f"{path}/{d}", None))
+                else:
+                    if not _eval_quiet(v, dep):
+                        out.append(Violation("dependencies", path, v))
+
+    if n.all_of is not None:
+        for sub in n.all_of:
+            _eval(v, sub, path, out)
+    if n.any_of is not None and not any(_eval_quiet(v, s) for s in n.any_of):
+        out.append(Violation("anyOf", path, v))
+    if n.one_of is not None and sum(_eval_quiet(v, s) for s in n.one_of) != 1:
+        out.append(Violation("oneOf", path, v))
+    if n.not_ is not None and _eval_quiet(v, n.not_):
+        out.append(Violation("not", path, v))
+
+
+def _eval_quiet(v: Any, n: SpecNode) -> bool:
+    tmp: list[Violation] = []
+    _eval(v, n, "", tmp)
+    return not tmp

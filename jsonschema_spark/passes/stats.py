@@ -1,0 +1,151 @@
+"""P1 — fused single-scan column-stats pass + row-level violation projection.
+
+SURVEY.md §2 B5/B6/B14/B15/B21; BASELINE.json:6 "single-scan per-partition
+column-stats pass (min/max/null-rate/distinct via HLL sketches, type/format/
+range predicates compiled from a JSONSchema-style constraint spec)".
+
+Scale notes (100 TB / 10^12 rows):
+- The stats pass reads ONLY the spec'd columns (never ``bytes``); Catalyst
+  prunes the Parquet/Iceberg scan to that column set.
+- All columns' aggregates are fused into ONE ``groupBy(part_id).agg(...)`` —
+  Catalyst executes it as map-side partial + final hash aggregation, so the
+  shuffle carries one small row per (partition × map-task), not data rows.
+- HLL sketches (`hll_sketch_agg`) are mergeable binary state (O(KB)): they
+  round-trip through the manifest and roll up table-wide via
+  ``hll_union_agg`` across resume boundaries (B15).
+- Row violations are a pure projection (whole-stage codegen) + explode;
+  the sink is bounded by top-k per (partition, keyword) (B21) while exact
+  counts are preserved in the verdicts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compile_spark import CompiledTableSpec
+
+VIOLATION_COLS = ["part_id", "row_key", "keyword", "path", "value"]
+
+
+def row_violations(
+    df: DataFrame,
+    compiled: CompiledTableSpec,
+    key_col: str,
+    part_col: str = "part_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Row-level violations: one narrow projection → explode → (optional)
+    top-k per (partition, keyword). Returns VIOLATION_COLS schema."""
+    narrow = df.select(
+        F.col(part_col).alias("part_id"),
+        F.col(key_col).cast("string").alias("row_key"),
+        compiled.violations_array().alias("viols"),
+    )
+    # Cheap pre-filter: rows with no violations never reach the explode.
+    v = (
+        narrow.where(F.size("viols") > 0)
+        .select("part_id", "row_key", F.explode("viols").alias("v"))
+        .select("part_id", "row_key", "v.keyword", "v.path", "v.value")
+    )
+    if top_k is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("part_id", "keyword", "path").orderBy("row_key")
+        v = v.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= top_k).drop("_rn")
+    return v
+
+
+def violation_counts(violations: DataFrame) -> DataFrame:
+    """Exact per-(partition, check) counts — computed BEFORE top-k bounding."""
+    return violations.groupBy("part_id", "keyword", "path").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+
+
+STAT_FIELDS = ["n_rows", "n_nulls", "min_val", "max_val", "n_distinct_approx", "hll_sketch"]
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str],
+    part_col: str = "part_id",
+    with_sketches: bool = True,
+) -> DataFrame:
+    """Fused per-partition stats for all spec'd columns in ONE aggregation.
+
+    Output (long format): part_id, column, n_rows, n_nulls, min_val:string,
+    max_val:string, n_distinct_approx, hll_sketch:binary.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        aggs.append(F.approx_count_distinct(col).alias(f"{c}__dist"))
+        if with_sketches:
+            # hll_sketch_agg rejects some types (e.g. double, binary) — cast to string
+            aggs.append(F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"))
+
+    wide = df.select(part_col, *columns).groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+
+    # unpivot to long — one struct per column, then explode (still JVM-side)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__dist").alias("n_distinct_approx"),
+            (F.col(f"{c}__hll") if with_sketches else F.lit(None).cast("binary")).alias("hll_sketch"),
+        )
+        for c in columns
+    ]
+    return (
+        wide.select("part_id", "n_rows", F.explode(F.array(*structs)).alias("s"))
+        .select(
+            "part_id", "s.column", "n_rows", "s.n_nulls", "s.min_val", "s.max_val",
+            "s.n_distinct_approx", "s.hll_sketch",
+        )
+    )
+
+
+def merge_sketches(stats: DataFrame) -> DataFrame:
+    """Roll partition-level HLL sketches up table-wide (resume-safe union)."""
+    return stats.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("n_distinct_merged"),
+    )
+
+
+def verdicts_from_violations(
+    counts: DataFrame,
+    all_part_ids: DataFrame,
+    check_ids: list[str],
+) -> DataFrame:
+    """B18: fold violation counts into a dense per-(partition, check) verdict
+    matrix — parts×checks with zero violations must appear as passed=true.
+
+    ``all_part_ids``: DataFrame with a single ``part_id`` column (distinct).
+    """
+    spark = counts.sparkSession
+    checks = spark.createDataFrame(
+        [(cid.split("@", 1)[0], cid.split("@", 1)[1]) for cid in check_ids],
+        T.StructType([
+            T.StructField("keyword", T.StringType()),
+            T.StructField("path", T.StringType()),
+        ]),
+    )
+    # parts × checks grid: both sides are tiny (metadata-scale) — cross join +
+    # broadcast is safe and never touches fact-table data.
+    grid = all_part_ids.crossJoin(F.broadcast(checks))
+    return (
+        grid.join(counts, ["part_id", "keyword", "path"], "left")
+        .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
+        .withColumn("passed", F.col("n_violations") == 0)
+        .withColumn("check_id", F.concat_ws("@", "keyword", "path"))
+        .select("part_id", "check_id", "keyword", "path", "passed", "n_violations")
+    )

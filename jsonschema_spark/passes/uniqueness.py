@@ -1,0 +1,89 @@
+"""P2 — salted two-stage uniqueness check (SURVEY.md B8).
+
+BASELINE.json:6: "a salted-repartition uniqueness check on image_id and
+phash". Exact duplicate detection over 10^12 rows:
+
+Stage 1 groups by (key, salt) — the salt spreads a hot key (e.g. a phash
+that covers 10% of the table) across S reducers so no single task receives
+the whole key. Stage 2 sums the per-salt partial counts per key; keys with
+total > 1 are duplicates. Both stages are plain hash aggregations with
+map-side partial combine; the shuffle payload after stage 1 is at most
+(#distinct keys × S) tiny rows regardless of input size.
+
+Example rows are recovered by joining the (small) duplicate-key set back to
+the fact table — broadcast when it fits, else AQE picks the strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 64
+
+
+def duplicate_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Keys appearing more than once: (key..., n_dups). Exact."""
+    # Salt from the physical input split — deterministic within a job and
+    # independent of the key value, so hot keys are split across reducers.
+    salted = df.select(*key_cols).withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    totals = partial.groupBy(*key_cols).agg(F.sum("_c").alias("n_dups"))
+    return totals.where(F.col("n_dups") > 1)
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key_cols: list[str],
+    key_col: str,
+    part_col: str = "part_id",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Violation rows for duplicated keys, in the engine's violation schema
+    (part_id, row_key, keyword, path, value). ``key_col`` is the table's
+    primary-key column used as row_key; ``key_cols`` the uniqueness subject.
+    """
+    dups = duplicate_keys(df, key_cols, salt_buckets)
+
+    path = "/" + ",".join(key_cols)
+    # Join duplicate keys back to recover example rows. The dup-key set is
+    # tiny relative to the fact table; let AQE/broadcast pick the join.
+    joined = df.select(part_col, key_col, *[c for c in key_cols if c != key_col]).join(
+        F.broadcast(dups.select(*key_cols)), on=key_cols, how="left_semi"
+    )
+    return joined.select(
+        F.col(part_col).alias("part_id"),
+        F.col(key_col).cast("string").alias("row_key"),
+        F.lit("uniqueItems").alias("keyword"),
+        F.lit(path).alias("path"),
+        F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols]).alias("value"),
+    )
+
+
+def uniqueness_verdicts(
+    violations: DataFrame,
+    all_part_ids: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    path = "/" + ",".join(key_cols)
+    counts = violations.where(F.col("path") == path).groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    return (
+        all_part_ids.join(counts, "part_id", "left")
+        .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
+        .select(
+            "part_id",
+            F.lit(f"uniqueItems@{path}").alias("check_id"),
+            F.lit("uniqueItems").alias("keyword"),
+            F.lit(path).alias("path"),
+            (F.col("n_violations") == 0).alias("passed"),
+            "n_violations",
+        )
+    )

@@ -1,0 +1,303 @@
+"""Constraint-spec front-end: parse a JSONSchema-style dict into a SpecNode tree.
+
+Shared by the local evaluator (``local.py``, reference-parity path E1) and the
+Spark compiler (``compile_spark.py``, set-oriented path E2) so both backends
+have identical semantics by construction (SURVEY.md §3).
+
+Covers the draft-03 ∪ draft-04 keyword surface inventoried in SURVEY.md §2
+Part A, plus the draft-06 conveniences ``const`` / ``contains`` and the
+engine's table-level extension block ``x-table-checks`` (uniqueness /
+referential / drift — SURVEY.md §2 Part B, BASELINE.json north_rule).
+
+``$ref`` / ``definitions`` are resolved at parse time by inlining with a
+recursion-depth cap (SURVEY.md §2 A22): the data plane never sees a ref.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+# Keywords that are pure metadata (SURVEY.md A31) — retained, never validated.
+METADATA_KEYWORDS = {"title", "description", "default", "id", "$schema", "x-table-checks"}
+
+# JSON type names (draft-04 §3.5; draft-03 §5.1 adds "any").
+JSON_TYPES = {"object", "array", "string", "number", "integer", "boolean", "null", "any"}
+
+MAX_REF_DEPTH = 32
+
+
+class SpecError(ValueError):
+    """Malformed constraint spec."""
+
+
+@dataclass(frozen=True)
+class SpecNode:
+    """One schema object, normalized. Children are SpecNodes; keyword values
+    are plain Python literals. Immutable so it is safe to close over when
+    building Spark Column expressions on the driver."""
+
+    # validation keywords (None = absent)
+    type: tuple[str, ...] | None = None          # normalized to tuple of type names
+    enum: tuple[Any, ...] | None = None
+    const: Any = None
+    has_const: bool = False
+    minimum: float | None = None
+    exclusive_minimum: bool = False              # draft-4 boolean modifier form
+    maximum: float | None = None
+    exclusive_maximum: bool = False
+    multiple_of: float | None = None             # d4 multipleOf / d3 divisibleBy
+    min_length: int | None = None
+    max_length: int | None = None
+    pattern: str | None = None
+    items: "SpecNode | None" = None              # single-schema form
+    tuple_items: tuple["SpecNode", ...] | None = None   # positional form
+    additional_items: "SpecNode | bool | None" = None
+    min_items: int | None = None
+    max_items: int | None = None
+    unique_items: bool = False
+    contains: "SpecNode | None" = None
+    required: tuple[str, ...] | None = None      # d4 array form
+    d3_required: bool = False                    # d3 boolean-on-property form
+    properties: dict[str, "SpecNode"] = field(default_factory=dict)
+    pattern_properties: dict[str, "SpecNode"] = field(default_factory=dict)
+    additional_properties: "SpecNode | bool | None" = None
+    min_properties: int | None = None
+    max_properties: int | None = None
+    dependencies: dict[str, Any] = field(default_factory=dict)  # name -> tuple[str,...] | SpecNode
+    all_of: tuple["SpecNode", ...] | None = None
+    any_of: tuple["SpecNode", ...] | None = None
+    one_of: tuple["SpecNode", ...] | None = None
+    not_: "SpecNode | None" = None
+    disallow: tuple[Any, ...] | None = None      # d3 §5.25: type names or schemas
+    format: str | None = None
+    # metadata passthrough for reporting
+    meta: dict[str, Any] = field(default_factory=dict)
+
+    def is_trivial(self) -> bool:
+        """True if this node imposes no constraint (empty schema)."""
+        return self == SpecNode()
+
+
+@dataclass(frozen=True)
+class TableChecks:
+    """Engine extension block ``x-table-checks`` (SURVEY.md §2 Part B)."""
+
+    unique: tuple[tuple[str, ...], ...] = ()
+    references: tuple[dict[str, Any], ...] = ()
+    drift: dict[str, Any] | None = None
+
+
+@dataclass(frozen=True)
+class Spec:
+    root: SpecNode
+    table_checks: TableChecks
+    raw: dict[str, Any] = field(default_factory=dict, compare=False)
+
+
+def _as_tuple_of_types(v: Any) -> tuple[str, ...]:
+    """Normalize d4 string / d3 union-list of type names (d3 also allows
+    embedded schemas in the union; those are handled by the caller)."""
+    if isinstance(v, str):
+        vals = (v,)
+    elif isinstance(v, list):
+        vals = tuple(x for x in v if isinstance(x, str))
+    else:
+        raise SpecError(f"bad 'type' value: {v!r}")
+    for t in vals:
+        if t not in JSON_TYPES:
+            raise SpecError(f"unknown type name: {t!r}")
+    return vals
+
+
+def _resolve_pointer(doc: Any, pointer: str) -> Any:
+    """Resolve a '#/a/b' JSON-Pointer fragment against the root schema doc."""
+    if not pointer.startswith("#"):
+        raise SpecError(f"only same-document $refs supported, got {pointer!r}")
+    cur = doc
+    frag = pointer[1:].lstrip("/")
+    if not frag:
+        return cur
+    for token in frag.split("/"):
+        token = token.replace("~1", "/").replace("~0", "~")
+        if isinstance(cur, dict) and token in cur:
+            cur = cur[token]
+        elif isinstance(cur, list) and token.isdigit() and int(token) < len(cur):
+            cur = cur[int(token)]
+        else:
+            raise SpecError(f"unresolvable $ref: {pointer!r}")
+    return cur
+
+
+def parse(schema: dict[str, Any] | bool) -> Spec:
+    """Parse a full spec document (root schema + optional x-table-checks)."""
+    if schema is True:
+        schema = {}
+    if schema is False:
+        schema = {"not": {}}
+    if not isinstance(schema, dict):
+        raise SpecError(f"schema must be an object, got {type(schema).__name__}")
+    root = _parse_node(schema, schema, depth=0)
+    tc = schema.get("x-table-checks", {}) or {}
+    table_checks = TableChecks(
+        unique=tuple(tuple(k) for k in tc.get("unique", [])),
+        references=tuple(dict(r) for r in tc.get("references", [])),
+        drift=dict(tc["drift"]) if "drift" in tc else None,
+    )
+    return Spec(root=root, table_checks=table_checks, raw=schema)
+
+
+def parse_node(schema: dict[str, Any] | bool) -> SpecNode:
+    """Parse a bare (sub)schema with itself as the $ref root."""
+    if schema is True:
+        return SpecNode()
+    if schema is False:
+        return SpecNode(not_=SpecNode())
+    return _parse_node(schema, schema, depth=0)
+
+
+def _sub(v: Any, root: dict, depth: int) -> SpecNode:
+    if v is True:
+        return SpecNode()
+    if v is False:
+        return SpecNode(not_=SpecNode())
+    if not isinstance(v, dict):
+        raise SpecError(f"subschema must be an object/bool, got {v!r}")
+    return _parse_node(v, root, depth)
+
+
+def _parse_node(s: dict[str, Any], root: dict[str, Any], depth: int) -> SpecNode:
+    if depth > MAX_REF_DEPTH:
+        raise SpecError(f"$ref nesting exceeds depth cap {MAX_REF_DEPTH}")
+
+    # --- $ref: inline the target, merging sibling keywords (d4: siblings
+    # ignored, but merging is a strict superset and harmless for our corpus).
+    if "$ref" in s:
+        target = _resolve_pointer(root, s["$ref"])
+        merged = {k: v for k, v in s.items() if k != "$ref"}
+        if isinstance(target, dict):
+            for k, v in target.items():
+                merged.setdefault(k, v)
+        return _parse_node(merged, root, depth + 1)
+
+    kw: dict[str, Any] = {}
+    meta = {k: s[k] for k in METADATA_KEYWORDS & s.keys() if k != "x-table-checks"}
+    if meta:
+        kw["meta"] = meta
+
+    if "type" in s:
+        tv = s["type"]
+        # d3 union types may embed schemas: {"type": ["string", {...}]}
+        if isinstance(tv, list) and any(isinstance(x, dict) for x in tv):
+            alts = []
+            for x in tv:
+                if isinstance(x, str):
+                    alts.append(SpecNode(type=_as_tuple_of_types(x)))
+                else:
+                    alts.append(_sub(x, root, depth + 1))
+            kw["any_of"] = tuple(alts) + (kw.get("any_of") or ())
+        else:
+            kw["type"] = _as_tuple_of_types(tv)
+    if "enum" in s:
+        kw["enum"] = tuple(s["enum"])
+    if "const" in s:
+        kw["const"] = s["const"]
+        kw["has_const"] = True
+    if "minimum" in s:
+        kw["minimum"] = s["minimum"]
+        em = s.get("exclusiveMinimum")
+        if isinstance(em, bool):
+            kw["exclusive_minimum"] = em
+    if isinstance(s.get("exclusiveMinimum"), (int, float)) and not isinstance(s.get("exclusiveMinimum"), bool):
+        # draft-6 numeric form
+        kw["minimum"] = s["exclusiveMinimum"]
+        kw["exclusive_minimum"] = True
+    if "maximum" in s:
+        kw["maximum"] = s["maximum"]
+        em = s.get("exclusiveMaximum")
+        if isinstance(em, bool):
+            kw["exclusive_maximum"] = em
+    if isinstance(s.get("exclusiveMaximum"), (int, float)) and not isinstance(s.get("exclusiveMaximum"), bool):
+        kw["maximum"] = s["exclusiveMaximum"]
+        kw["exclusive_maximum"] = True
+    if "multipleOf" in s or "divisibleBy" in s:
+        k = s.get("multipleOf", s.get("divisibleBy"))
+        if not isinstance(k, (int, float)) or isinstance(k, bool) or k <= 0:
+            raise SpecError(f"multipleOf must be a number > 0, got {k!r}")
+        kw["multiple_of"] = k
+    if "minLength" in s:
+        kw["min_length"] = int(s["minLength"])
+    if "maxLength" in s:
+        kw["max_length"] = int(s["maxLength"])
+    if "pattern" in s:
+        re.compile(s["pattern"])  # fail fast at compile time (A9)
+        kw["pattern"] = s["pattern"]
+    if "items" in s:
+        it = s["items"]
+        if isinstance(it, list):
+            kw["tuple_items"] = tuple(_sub(x, root, depth + 1) for x in it)
+        else:
+            kw["items"] = _sub(it, root, depth + 1)
+    if "additionalItems" in s:
+        ai = s["additionalItems"]
+        kw["additional_items"] = ai if isinstance(ai, bool) else _sub(ai, root, depth + 1)
+    if "minItems" in s:
+        kw["min_items"] = int(s["minItems"])
+    if "maxItems" in s:
+        kw["max_items"] = int(s["maxItems"])
+    if "uniqueItems" in s:
+        kw["unique_items"] = bool(s["uniqueItems"])
+    if "contains" in s:
+        kw["contains"] = _sub(s["contains"], root, depth + 1)
+    if "required" in s:
+        rq = s["required"]
+        if isinstance(rq, bool):           # draft-3 boolean-on-property form
+            kw["d3_required"] = rq
+        else:
+            kw["required"] = tuple(rq)
+    if "properties" in s:
+        kw["properties"] = {k: _sub(v, root, depth + 1) for k, v in s["properties"].items()}
+    if "patternProperties" in s:
+        for p in s["patternProperties"]:
+            re.compile(p)
+        kw["pattern_properties"] = {k: _sub(v, root, depth + 1) for k, v in s["patternProperties"].items()}
+    if "additionalProperties" in s:
+        ap = s["additionalProperties"]
+        kw["additional_properties"] = ap if isinstance(ap, bool) else _sub(ap, root, depth + 1)
+    if "minProperties" in s:
+        kw["min_properties"] = int(s["minProperties"])
+    if "maxProperties" in s:
+        kw["max_properties"] = int(s["maxProperties"])
+    if "dependencies" in s:
+        deps: dict[str, Any] = {}
+        for name, d in s["dependencies"].items():
+            if isinstance(d, str):         # d3 single-name form
+                deps[name] = (d,)
+            elif isinstance(d, list):
+                deps[name] = tuple(d)
+            else:
+                deps[name] = _sub(d, root, depth + 1)
+        kw["dependencies"] = deps
+    if "allOf" in s or "extends" in s:     # d3 extends ≙ allOf (A18)
+        ext = s.get("allOf", s.get("extends"))
+        if isinstance(ext, dict):
+            ext = [ext]
+        kw["all_of"] = tuple(_sub(x, root, depth + 1) for x in ext)
+    if "anyOf" in s:
+        kw["any_of"] = tuple(_sub(x, root, depth + 1) for x in s["anyOf"]) + (kw.get("any_of") or ())
+    if "oneOf" in s:
+        kw["one_of"] = tuple(_sub(x, root, depth + 1) for x in s["oneOf"])
+    if "not" in s:
+        kw["not_"] = _sub(s["not"], root, depth + 1)
+    if "disallow" in s:                    # d3 §5.25: type name | schema | list
+        dv = s["disallow"]
+        if not isinstance(dv, list):
+            dv = [dv]
+        kw["disallow"] = tuple(
+            x if isinstance(x, str) else _sub(x, root, depth + 1) for x in dv
+        )
+    if "format" in s:
+        kw["format"] = s["format"]
+
+    return SpecNode(**kw)
