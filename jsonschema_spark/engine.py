@@ -62,6 +62,23 @@ def get_session(app: str = "jsonschema-spark", master: str | None = None,
     return b.getOrCreate()
 
 
+def validate_rows(
+    df: DataFrame, spec: dict[str, Any] | Spec, keys: list[str]
+) -> DataFrame:
+    """Generic row-level validation: compile the spec against ``df``'s schema
+    and return violation rows keyed by ``keys`` — (keys..., keyword, path,
+    value). One projection + explode; no per-row Python (B5/B6)."""
+    if not isinstance(spec, Spec):
+        spec = parse(spec)
+    compiled = compile_table(spec, df.schema)
+    narrow = df.select(*keys, compiled.violations_array().alias("viols"))
+    return (
+        narrow.where(F.size("viols") > 0)
+        .select(*keys, F.explode("viols").alias("v"))
+        .select(*keys, "v.keyword", "v.path", "v.value")
+    )
+
+
 def validate_table(
     fact: DataFrame,
     spec: dict[str, Any] | Spec,

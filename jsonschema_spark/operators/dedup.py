@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — each expressed Spark-first:
+
+- exact/ngram: pure DataFrame ops (codegen, map-side partial aggs).
+- MinHash: per-shingle hashes via ``xxhash64`` (JVM), min-reduced per band
+  with ``F.min`` aggregations; banding turns O(n²) pair search into an
+  equi-join on (band, signature) — the standard LSH shuffle shape that
+  scales linearly with corpus size instead of quadratically.
+- SimHash: 64 per-bit weighted sums in ONE aggregation (64 agg columns,
+  still a single shuffle), then Hamming-adjacent bucketing.
+
+At 10^12 docs the quadratic verify step only ever runs inside LSH buckets;
+bucket skew (a shingle shared by millions of docs) is handled by dropping
+top-frequency shingles (stopword-shingle cut) before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_words", F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy: (content_md5, n_dups, doc_ids)."""
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per doc."""
+    w = with_words(df, text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_words") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at("_words", (i + k).cast("int")) for k in range(n)]),
+    )
+    return (
+        w.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Doc pairs with n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
+
+    Inverted-index join on shingles (never a cross join). For web-scale
+    corpora pass ``max_shingle_freq`` to drop degenerate shingles shared by
+    too many docs — they blow up the join and carry no discriminative signal.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.where(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash signature per doc. Each hash h_k is
+    min over shingles of xxhash64(shingle, k); all ``num_hashes`` minima are
+    computed in ONE aggregation over the exploded shingle table."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing ANY band
+    signature. (id_a, id_b) distinct pairs. bands must divide num_hashes."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, id_col, text_col, n)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_entries).alias("e")).select(
+        "id", "e.band", "e.bucket"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard on shingles — the scale path:
+    candidate generation is linear (banding), exact verify runs only on the
+    candidate set. Returns (id_a, id_b, jaccard)."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    # count shared shingles among candidate pairs only
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over word tokens, computed as 64
+    per-bit sums in a single aggregation (no per-row Python)."""
+    tok = with_words(df, text_col).select(
+        F.col(id_col).alias("id"), F.explode("_words").alias("tok")
+    )
+    tok = tok.withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*bit_aggs)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by the
+    block-rotation trick: split 64 bits into (max_hamming+1) blocks; any pair
+    within distance d shares ≥1 exact block (pigeonhole) — so candidates come
+    from equi-joins on block values, never a cross join."""
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sig = simhash_signatures(df, id_col, text_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("blk"),
+                F.shiftright(F.col("simhash"), k * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for k in range(blocks)
+        ]
+    )
+    bk = sig.select("id", "simhash", F.explode(entries).alias("e")).select(
+        "id", "simhash", "e.blk", "e.key"
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a, id_b, cos). Brute-force O(n²)
+    correctness baseline — the scale path buckets by LSH first (see
+    similarity.cosine_lsh_buckets)."""
+    from .similarity import _norm, _dot
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop the higher-id member of every duplicate pair (canonical keep-first
+    policy). At scale this is a left_anti join against the (small) drop-list."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -1,0 +1,155 @@
+"""Multimodal column operators: image/audio/video as opaque binary + metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, partition behavior) is
+real and tested; the codec layer handles png/bmp/raw natively (own codecs —
+no PIL in this environment) and STUBS formats that need external libraries
+behind ``NotImplementedError`` with a deterministic-fake escape hatch for
+tests (task directive: make the plumbing real, stub the exotic decode).
+
+All operators are ``mapInPandas`` over Arrow batches — the binary payload
+crosses the JVM↔Python boundary once per batch, never per row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import imagecodecs as codecs
+
+NATIVE_FMTS = {"png", "bmp", "raw"}
+
+FEATURES_SCHEMA = (
+    "image_id string, fmt string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, std_gray double, ok boolean, err string"
+)
+
+
+def _decode(b: bytes, fmt: str, w: int, h: int, fake_exotic: bool) -> np.ndarray:
+    if fmt in NATIVE_FMTS:
+        return codecs.decode(b, fmt, w, h)
+    if fake_exotic:
+        # deterministic fake for jpeg/webp/etc: derive pixels from the payload
+        rng = np.frombuffer(b[: w * h * 3], dtype=np.uint8)
+        if rng.size < w * h * 3:
+            rng = np.resize(rng, w * h * 3)
+        return rng.reshape(h, w, 3)
+    raise NotImplementedError(
+        f"decode for fmt={fmt!r} needs an external codec library (not in this "
+        "environment); pass fake_exotic=True for a deterministic stand-in"
+    )
+
+
+def image_features(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    fake_exotic: bool = False,
+) -> DataFrame:
+    """Decode + per-channel feature extraction (mean RGB, gray stddev)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                rid, fmt = getattr(r, id_col), getattr(r, fmt_col)
+                w, h = int(getattr(r, w_col)), int(getattr(r, h_col))
+                try:
+                    px = _decode(bytes(getattr(r, bytes_col)), fmt, w, h, fake_exotic)
+                    gray = px.mean(axis=2)
+                    rows.append((rid, fmt, px.shape[1], px.shape[0],
+                                 float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+                                 float(px[:, :, 2].mean()), float(gray.std()), True, None))
+                except Exception as e:  # noqa: BLE001 — error column, not crash
+                    rows.append((rid, fmt, w, h, None, None, None, None, False, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "width", "height", "mean_r", "mean_g", "mean_b",
+                "std_gray", "ok", "err"])
+
+    cols = [id_col, bytes_col, fmt_col, w_col, h_col]
+    return df.select(*cols).mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int,
+    bytes_col: str = "bytes", fmt_col: str = "fmt", id_col: str = "image_id",
+    w_col: str = "w", h_col: str = "h", fake_exotic: bool = False,
+) -> DataFrame:
+    """Nearest-neighbor resize (numpy index sampling), re-encoded as PNG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                px = _decode(bytes(getattr(r, bytes_col)), getattr(r, fmt_col),
+                             int(getattr(r, w_col)), int(getattr(r, h_col)), fake_exotic)
+                ys = (np.arange(target_h) * px.shape[0]) // target_h
+                xs = (np.arange(target_w) * px.shape[1]) // target_w
+                out = px[np.ix_(ys, xs)]
+                rows.append((getattr(r, id_col), codecs.png_encode(out),
+                             target_w, target_h, "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return df.select(id_col, bytes_col, fmt_col, w_col, h_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id string, frame_idx int, bytes binary"
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 10,
+    bytes_col: str = "bytes", id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads. Container demux needs an
+    external library — STUB: raises NotImplementedError per batch. The
+    operator's schema, batch shape and row-multiplying contract are real and
+    unit-tested against the stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                raise NotImplementedError(
+                    "video demux requires an external library (e.g. PyAV); "
+                    "not available in this environment"
+                )
+            yield pd.DataFrame({"media_id": [], "frame_idx": [], "bytes": []})
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = "media_id string, n_samples long, rms double, ok boolean, err string"
+
+
+def audio_features(
+    df: DataFrame, bytes_col: str = "bytes", id_col: str = "media_id",
+    fake_pcm: bool = False,
+) -> DataFrame:
+    """Audio feature plumbing. Real path would parse WAV/FLAC; here the
+    payload is treated as 16-bit PCM when ``fake_pcm`` (deterministic fake),
+    else the stub error is captured per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                rid = getattr(r, id_col)
+                if fake_pcm:
+                    pcm = np.frombuffer(bytes(getattr(r, bytes_col)), dtype="<i2")
+                    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if pcm.size else 0.0
+                    rows.append((rid, int(pcm.size), rms, True, None))
+                else:
+                    rows.append((rid, 0, None, False,
+                                 "audio decode requires an external library"))
+            yield pd.DataFrame(rows, columns=["media_id", "n_samples", "rms", "ok", "err"])
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -1,0 +1,108 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure Column expressions (whole-stage codegen) —
+each has an exact ANSI-SQL oracle twin in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deterministic and oracle-expressible (list_intersect in DuckDB).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "es": ["el", "la", "los", "las", "y", "es", "en", "un", "una", "que"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, or single non-space symbol.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predict language by stopword-marker hits; deterministic tie-break by
+    language code order. Emits (id, predicted_lang, markers_hit)."""
+    w = words(F.col(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in LANG_MARKERS.items()
+    }
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # later langs win ties only if strictly greater
+        s = scores[lang]
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.select(
+        F.col(id_col), best_lang.alias("predicted_lang"), best_score.alias("markers_hit")
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword quality signals per document."""
+    t = F.col(text_col)
+    w = words(t)
+    n_tokens = F.size(w)
+    n_chars = F.length(t)
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    stop = F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        (
+            (n_tokens >= 5) & (n_chars >= 20)
+            & (punct / F.greatest(n_chars, F.lit(1)) < 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(words(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("re_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized-content fingerprint: lowercase, strip non-alphanumerics,
+    collapse whitespace, md5. Identical docs-after-normalization collide."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def rolling_fingerprints(
+    df: DataFrame, window_tokens: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing-style rolling fingerprints: hash every ``window_tokens``-gram
+    and keep the per-document minimum hash set (one value per window offset
+    bucket). Used for partial-overlap detection. (id, min_gram_hash)."""
+    w = words(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (window_tokens - 1), F.lit(0))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(w, (i + k).cast("int")) for k in range(window_tokens)])
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.array_min(grams).alias("min_gram_hash"), F.size(w).alias("n_tokens")
+    )

