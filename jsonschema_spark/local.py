@@ -103,7 +103,8 @@ def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa
         out.append(Violation("type", path, v))
     if n.disallow is not None:
         for d in n.disallow:
-            bad = _type_matches(v, d) if isinstance(d, str) else not _eval_quiet(v, d)
+            # disallowed when the instance DOES match the type/schema (d3 §5.25)
+            bad = _type_matches(v, d) if isinstance(d, str) else _eval_quiet(v, d)
             if bad:
                 out.append(Violation("disallow", path, v))
                 break
