@@ -99,6 +99,38 @@ def _forgive_null(col: Column, pred: Column) -> Column:
     return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
 
 
+def _lit_eq(col: Column, dt: T.DataType | None, v: Any) -> Column | None:
+    """Typed JSON equality of a cell against a Python literal.
+
+    Returns a boolean Column, or None when the literal's JSON type can never
+    match the column's Spark dtype (bool vs number distinction included —
+    JSON true ≠ 1, "1" ≠ 1), mirroring local._json_eq."""
+    if isinstance(v, bool):
+        if dt is None or isinstance(dt, T.BooleanType):
+            return col == F.lit(v)
+        return None
+    if isinstance(v, (int, float)):
+        if dt is None or _is_numeric(dt):
+            return col == F.lit(v)
+        return None
+    if isinstance(v, str):
+        if dt is None or isinstance(dt, T.StringType):
+            return col == F.lit(v)
+        return None
+    if isinstance(v, list) and isinstance(dt, T.ArrayType):
+        ev = dt.elementType
+        ok = (
+            (all(isinstance(x, bool) for x in v) and isinstance(ev, T.BooleanType))
+            or (all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in v)
+                and _is_numeric(ev))
+            or (all(isinstance(x, str) for x in v) and isinstance(ev, T.StringType))
+        )
+        if ok:
+            return col == F.array(*[F.lit(x) for x in v]) if v else F.size(col) == 0
+        return None
+    return None  # dicts / nested arrays: no flat-column representation
+
+
 def node_valid(node: SpecNode, col: Column, dt: T.DataType | None) -> Column:
     """Single boolean Column: does `col` satisfy the whole (sub)schema?
     Used inside combinators (anyOf/oneOf/not) and array lambdas."""
@@ -159,10 +191,14 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
             add("disallow", _forgive_null(col, pred))
 
     # --- A2/A3 enum & const ----------------------------------------------
+    # JSON equality is typed: a boolean cell never equals 1, a string cell
+    # never equals an int member. Members whose JSON type can't match the
+    # column's dtype contribute no predicate (they simply can never match).
     if node.enum is not None:
-        lits = [v for v in node.enum if v is not None and not isinstance(v, (list, dict))]
+        preds = [p for v in node.enum if v is not None
+                 and (p := _lit_eq(col, dt, v)) is not None]
         allows_null = any(v is None for v in node.enum)
-        pred = col.isin(*lits) if lits else F.lit(False)
+        pred = reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
         if allows_null:
             add("enum", F.coalesce(pred, col.isNull()))
         else:
@@ -171,7 +207,8 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
         if node.const is None:
             add("const", col.isNull())
         else:
-            add("const", _forgive_null(col, col == F.lit(node.const)))
+            p = _lit_eq(col, dt, node.const)
+            add("const", _forgive_null(col, p if p is not None else F.lit(False)))
 
     # --- A4–A6 numeric bounds ---------------------------------------------
     if _is_numeric(dt) or dt is None:

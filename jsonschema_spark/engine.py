@@ -47,6 +47,9 @@ def recommended_conf(parallelism: int = 32) -> dict[str, str]:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # Resume idempotency (B4): overwrite ONLY the partitions present in a
+        # retried write, so completed partitions' violations survive a resume.
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
     }
 
 
@@ -89,12 +92,31 @@ def validate_table(
     top_k: int | None = None,
     with_stats: bool = True,
     drift_columns: list[P4.DriftColumn] | None = None,
+    uniqueness_scope: DataFrame | None = None,
 ) -> ValidationResult:
+    """Run the four-pass suite over ``fact``.
+
+    ``uniqueness_scope``: uniqueness (P2) is a whole-table property — a
+    duplicate key can span a completed and a pending partition. On resume,
+    pass the FULL table here while ``fact`` carries only pending partitions;
+    P2 then scans just its key columns table-wide (narrow columnar scan)
+    while the per-partition passes stay pruned. Defaults to ``fact``.
+
+    Every violation row carries a ``pass_id`` column ("rows" | "unique" |
+    "refs") so sinks can partition by (pass_id, part_id) and a resumed pass
+    dynamically overwrites exactly its own cells (B4).
+    """
     if not isinstance(spec, Spec):
         spec = parse(spec)
     dims = dims or {}
     compiled = compile_table(spec, fact.schema)
     all_parts = fact.select(F.col(part_col).alias("part_id")).distinct()
+    scope = uniqueness_scope if uniqueness_scope is not None else fact
+    scope_parts = (
+        scope.select(F.col(part_col).alias("part_id")).distinct()
+        if uniqueness_scope is not None
+        else all_parts
+    )
 
     streams: list[DataFrame] = []
     verdict_streams: list[DataFrame] = []
@@ -102,15 +124,22 @@ def validate_table(
     # P1 — row predicates
     viol1 = P1.row_violations(fact, compiled, key_col=key_col, part_col=part_col)
     counts1 = P1.violation_counts(viol1)
-    verdict_streams.append(P1.verdicts_from_violations(counts1, all_parts, compiled.check_ids()))
-    streams.append(viol1 if top_k is None else P1.row_violations(
-        fact, compiled, key_col=key_col, part_col=part_col, top_k=top_k))
+    verdict_streams.append(
+        P1.verdicts_from_violations(counts1, all_parts, compiled.check_ids())
+        .withColumn("pass_id", F.lit("rows"))
+    )
+    sink1 = viol1 if top_k is None else P1.row_violations(
+        fact, compiled, key_col=key_col, part_col=part_col, top_k=top_k)
+    streams.append(sink1.withColumn("pass_id", F.lit("rows")))
 
-    # P2 — uniqueness
+    # P2 — uniqueness (always over the full scope, see docstring)
     for key_cols in spec.table_checks.unique:
-        v = P2.uniqueness_violations(fact, list(key_cols), key_col=key_col, part_col=part_col)
-        streams.append(v)
-        verdict_streams.append(P2.uniqueness_verdicts(v, all_parts, list(key_cols)))
+        v = P2.uniqueness_violations(scope, list(key_cols), key_col=key_col, part_col=part_col)
+        streams.append(v.withColumn("pass_id", F.lit("unique")))
+        verdict_streams.append(
+            P2.uniqueness_verdicts(v, scope_parts, list(key_cols))
+            .withColumn("pass_id", F.lit("unique"))
+        )
 
     # P3 — referential
     for ref in spec.table_checks.references:
@@ -122,7 +151,7 @@ def validate_table(
             key_col=key_col, part_col=part_col,
             strategy=ref.get("strategy", "broadcast"), dim_name=dim_name,
         )
-        streams.append(v)
+        streams.append(v.withColumn("pass_id", F.lit("refs")))
         cnt = v.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_violations"))
         path = f"/{ref['column']}->{dim_name}.{ref['key']}"
         verdict_streams.append(
@@ -136,6 +165,7 @@ def validate_table(
                 (F.col("n_violations") == 0).alias("passed"),
                 "n_violations",
             )
+            .withColumn("pass_id", F.lit("refs"))
         )
 
     # P4 — drift
@@ -149,7 +179,7 @@ def validate_table(
                 drift_df,
                 ks_alpha=dcfg.get("ks_alpha", 0.01),
                 psi_max=dcfg.get("psi_max", 0.2),
-            )
+            ).withColumn("pass_id", F.lit("drift"))
         )
 
     # fused stats (B14/B15) — optional, never scans `bytes`

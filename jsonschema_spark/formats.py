@@ -54,6 +54,9 @@ FORMAT_REGEXES: dict[str, str] = {
     "color": COLOR_RE,
     "phone": PHONE_RE,
     "image-fmt": IMAGE_FMT_RE,
+    # d3 utc-millisec applies to numbers; string instances must be all digits.
+    # Kept in the regex table so the Spark backend enforces it identically.
+    "utc-millisec": r"^\d+$",
 }
 
 

@@ -69,10 +69,11 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     with open(args.spec) as f:
         spec = parse(json.load(f))
 
-    fact = spark.read.parquet(args.table)
+    fact_full = spark.read.parquet(args.table)
+    fact = fact_full
     man = Manifest(spark, args.manifest)
     if args.resume:
-        fact = man.filter_pending(fact, "full", part_col=args.part_col)
+        fact = man.filter_pending(fact_full, "full", part_col=args.part_col)
 
     dims = {}
     for d in args.dim:
@@ -92,14 +93,25 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         fact, spec, dims=dims, baseline=baseline,
         key_col=args.key_col, part_col=args.part_col, top_k=args.top_k,
         drift_columns=parse_drift_columns(spec),
+        # uniqueness is table-global: a dup can span a done and a pending
+        # partition, so P2 always scans the full table's key columns
+        uniqueness_scope=fact_full,
+    )
+    # Sinks partitioned by (pass_id, part_id): with dynamic partition
+    # overwrite, a resumed run rewrites exactly the cells it recomputed —
+    # pending partitions for the per-partition passes, all partitions for
+    # the global uniqueness pass — and completed cells survive (B4).
+    (
+        res.violations.repartition("pass_id", "part_id")
+        .write.mode("overwrite").partitionBy("pass_id", "part_id")
+        .parquet(args.out + "/violations")
     )
     (
-        res.violations.repartition(args.part_col)
-        .write.mode("overwrite").partitionBy("part_id").parquet(args.out + "/violations")
+        res.verdicts.write.mode("overwrite").partitionBy("pass_id", "part_id")
+        .parquet(args.out + "/verdicts")
     )
-    res.verdicts.write.mode("overwrite").parquet(args.out + "/verdicts")
     if res.stats is not None:
-        res.stats.write.mode("overwrite").parquet(args.out + "/stats")
+        res.stats.write.mode("overwrite").partitionBy("part_id").parquet(args.out + "/stats")
 
     # lineage rows: per-partition row + violation counts from the written outputs
     vc = {
