@@ -1,0 +1,124 @@
+"""Headline benchmark (driver contract): run the engine's representative
+queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Covers every operator family from SURVEY.md §2: P1 row checks + fused
+stats, P2 salted uniqueness, P3 broadcast & shuffle-hash referential,
+P4 histogram/KS/PSI drift, dedup (exact, MinHash-LSH), similarity top-k,
+text analysis, and the full four-pass image suite over the deterministic
+fixture table (the north-rule flagship, images/sec reported separately).
+
+Each query is forced end-to-end with a noop sink (full materialization,
+nothing collected to the driver). One warm-up query runs first so JVM/
+codegen startup isn't billed to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# the representative subset of __spark_entry__.queries() timed per-round
+HEADLINE = [
+    "row_checks_lineitem",
+    "stats_lineitem",
+    "uniqueness_orders",
+    "referential_customer_nation",
+    "referential_lineitem_orders",
+    "psi_ks_events",
+    "topk_violations_orders",
+    "dedup_exact_documents",
+    "minhash_candidates_documents",
+    "simhash_documents",
+    "cosine_topk_embeddings",
+    "quality_documents",
+    "fingerprints_documents",
+]
+
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000"))
+# Generated once, reused across bench runs. Parquet (not a cached DataFrame)
+# so every pass exercises the production path: vectorized columnar scan with
+# column pruning — the same shape as the Iceberg table at north scale.
+BENCH_DATA = os.environ.get(
+    "SPARK_GRAFT_BENCH_DATA", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata")
+)
+
+
+def sink(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from jsonschema_spark.engine import get_session
+    import __spark_entry__ as entrymod
+
+    spark = get_session("jsonschema-spark-bench", parallelism=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm-up (JVM, codegen, parquet footer caches) — not billed
+    sink(qs["row_checks_lineitem"](spark, SF_DIR).limit(1000))
+
+    for name in HEADLINE:
+        t0 = time.time()
+        sink(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: full four-pass suite over the deterministic image table
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.engine import validate_table
+    from jsonschema_spark.passes.drift import baseline_profile
+
+    cfg = FX.FixtureConfig(n=N_IMAGES, n_parts=256, with_bytes=False)
+    table_dir = os.path.join(BENCH_DATA, f"images_{N_IMAGES}")
+    base_dir = os.path.join(BENCH_DATA, f"baseline_{N_IMAGES}")
+    if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        FX.generate_images_df(spark, cfg).write.mode("overwrite").parquet(table_dir)
+    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        clean_cfg = FX.FixtureConfig(n=N_IMAGES, n_parts=256, plants=False,
+                                     with_bytes=False, drift_part=-1)
+        baseline_profile(
+            FX.generate_images_df(spark, clean_cfg), FX.drift_columns()
+        ).write.mode("overwrite").parquet(base_dir)
+    fact = spark.read.parquet(table_dir)
+    baseline = spark.read.parquet(base_dir)
+
+    t0 = time.time()
+    res = validate_table(
+        fact, FX.SPEC_IMAGES,
+        dims={"dim_fmt": FX.dim_fmt_df(spark),
+              "dim_license": FX.dim_license_df(spark, cfg)},
+        baseline=baseline, drift_columns=FX.drift_columns(),
+    )
+    sink(res.violations)
+    sink(res.verdicts)
+    if res.stats is not None:
+        sink(res.stats)
+    suite_sec = round(time.time() - t0, 3)
+    timings["images_full_suite"] = suite_sec
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (validated images/sec in images_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "images_per_sec": round(N_IMAGES / suite_sec, 1),
+        "n_images": N_IMAGES,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -229,19 +229,23 @@ def dim_fmt_df(spark):
 
 
 def dim_license_df(spark, cfg: FixtureConfig):
-    """All generated ids EXCEPT the license-orphan plants (FIXTURES.md §2)."""
+    """All generated ids EXCEPT the license-orphan plants (FIXTURES.md §2).
+
+    The exclusion is an anti-join against a DataFrame of planted ids, not an
+    ``isin`` literal list — at fixture sizes in the millions the list form
+    would compile a multi-thousand-term predicate (codegen blowup)."""
     from pyspark.sql import functions as F
 
     plan = build_plan(cfg)
     excluded = sorted(plan.orphan_license)
-    base = spark.range(0, cfg.n).select(
+    base = spark.range(0, cfg.n)
+    if excluded:
+        ex = spark.createDataFrame([(int(i),) for i in excluded], "id long")
+        base = base.join(F.broadcast(ex), "id", "left_anti")
+    return base.select(
         F.format_string("img-%012d", F.col("id")).alias("image_id"),
         F.lit("cc-by-4.0").alias("license"),
-        F.col("id"),
     )
-    if excluded:
-        base = base.where(~F.col("id").isin(excluded))
-    return base.drop("id")
 
 
 SPEC_IMAGES = {

@@ -50,11 +50,21 @@ def row_violations(
         .select("part_id", "row_key", "v.keyword", "v.path", "v.value")
     )
     if top_k is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("part_id", "keyword", "path").orderBy("row_key")
-        v = v.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= top_k).drop("_rn")
+        v = bound_top_k(v, top_k)
     return v
+
+
+def bound_top_k(violations: DataFrame, top_k: int) -> DataFrame:
+    """Bound a violation stream to ≤k example rows per (partition, check)
+    (B21) — exact counts must be taken from the unbounded stream first."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("part_id", "keyword", "path").orderBy("row_key")
+    return (
+        violations.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
 
 
 def violation_counts(violations: DataFrame) -> DataFrame:
