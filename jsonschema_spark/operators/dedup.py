@@ -43,10 +43,17 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) pairs — distinct word n-grams per doc."""
     w = with_words(df, text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_words") - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at("_words", (i + k).cast("int")) for k in range(n)]),
-    )
+    # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+    # array — docs shorter than n words need the explicit guard.
+    grams = F.when(
+        F.size("_words") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_words") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_words", (i + k).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         w.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
     )

@@ -107,24 +107,39 @@ FRAME_SCHEMA = "media_id string, frame_idx int, bytes binary"
 
 
 def sample_video_frames(
-    df: DataFrame, every_n: int = 10,
+    df: DataFrame, every_k: int = 10,
     bytes_col: str = "bytes", id_col: str = "media_id",
+    w_col: str = "w", h_col: str = "h", n_frames_col: str = "n_frames",
+    container: str = "rawvideo",
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads. Container demux needs an
-    external library — STUB: raises NotImplementedError per batch. The
-    operator's schema, batch shape and row-multiplying contract are real and
-    unit-tested against the stub."""
+    """Frame sampling: one input row (video payload) → one output row per
+    sampled frame (row-multiplying mapInPandas, Arrow-batched).
+
+    ``container="rawvideo"`` (concatenated w×h×3 RGB frames) is demuxed
+    natively — the full Spark plumbing is real and tested. Real containers
+    (mp4/webm) need an external demux library which is not in this
+    environment — STUB behind NotImplementedError (task directive)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if len(b):
-                raise NotImplementedError(
-                    "video demux requires an external library (e.g. PyAV); "
-                    "not available in this environment"
-                )
-            yield pd.DataFrame({"media_id": [], "frame_idx": [], "bytes": []})
+            rows = []
+            for r in b.itertuples(index=False):
+                if container != "rawvideo":
+                    raise NotImplementedError(
+                        f"container {container!r} demux requires an external "
+                        "library (e.g. PyAV); only 'rawvideo' is native here"
+                    )
+                payload = bytes(getattr(r, bytes_col))
+                w, h = int(getattr(r, w_col)), int(getattr(r, h_col))
+                n = int(getattr(r, n_frames_col))
+                fsz = w * h * 3
+                for idx in range(0, n, every_k):
+                    rows.append((getattr(r, id_col), idx,
+                                 payload[idx * fsz:(idx + 1) * fsz]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "bytes"])
 
-    return df.select(id_col, bytes_col).mapInPandas(run, schema=FRAME_SCHEMA)
+    return df.select(id_col, bytes_col, w_col, h_col, n_frames_col).mapInPandas(
+        run, schema=FRAME_SCHEMA)
 
 
 AUDIO_SCHEMA = "media_id string, n_samples long, rms double, ok boolean, err string"

@@ -97,12 +97,16 @@ def rolling_fingerprints(
     and keep the per-document minimum hash set (one value per window offset
     bucket). Used for partial-overlap detection. (id, min_gram_hash)."""
     w = words(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (window_tokens - 1), F.lit(0))),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", *[F.element_at(w, (i + k).cast("int")) for k in range(window_tokens)])
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard short docs
+    grams = F.when(
+        F.size(w) >= window_tokens,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (window_tokens - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.element_at(w, (i + k).cast("int")) for k in range(window_tokens)])
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<long>"))
     return df.select(
         F.col(id_col), F.array_min(grams).alias("min_gram_hash"), F.size(w).alias("n_tokens")
     )

@@ -1,0 +1,321 @@
+"""Training-data operator tests: dedup, similarity search, text analysis,
+multimodal plumbing — each verified against a driver-side brute-force
+recomputation (NumPy / pure Python) on deterministic synthetic data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jsonschema_spark.operators import dedup, multimodal, similarity
+from jsonschema_spark.operators import text as T
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),        # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+    (3, "pack my box with five dozen liquor jugs"),
+    (4, "pack my box with five dozen liquor jugs today"),      # near-dup of 3
+    (5, "sphinx of black quartz judge my vow"),
+    (6, "der schnelle braune fuchs springt über den faulen hund und die katze"),
+    (7, "el rápido zorro marrón salta sobre el perro perezoso y es un día"),
+    (8, "completely unrelated text about spark dataframes and shuffles"),
+    (9, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _shingles(text, n=3):
+    ws = text.split()
+    return {" ".join(ws[i:i + n]) for i in range(max(len(ws) - n + 1, 0))}
+
+
+def _jaccard(a, b):
+    sa, sb = _shingles(a), _shingles(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates(docs_df):
+    rows = dedup.exact_duplicates(docs_df).collect()
+    assert len(rows) == 1
+    assert rows[0].n_dups == 2 and rows[0].doc_ids == [0, 2]
+
+
+def test_ngram_jaccard_matches_bruteforce(docs_df):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    expected = {}
+    for i, (ia, ta) in enumerate(DOCS):
+        for ib, tb in DOCS[i + 1:]:
+            j = _jaccard(ta, tb)
+            if j >= 0.3:
+                expected[(ia, ib)] = round(j, 6)
+    assert got == expected
+    assert (0, 2) in got and got[(0, 2)] == 1.0
+
+
+def test_minhash_dedup_finds_true_pairs(docs_df):
+    """LSH candidates must contain every truly-similar pair, and the verify
+    step must compute the exact Jaccard (xxhash64 is deterministic, so this
+    is a deterministic assertion, not probabilistic)."""
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_dedup(docs_df, threshold=0.5).collect()
+    }
+    true_pairs = {
+        (ia, ib): round(_jaccard(ta, tb), 6)
+        for i, (ia, ta) in enumerate(DOCS)
+        for ib, tb in DOCS[i + 1:]
+        if _jaccard(ta, tb) >= 0.5
+    }
+    # verify step is exact ⇒ reported jaccards equal brute force
+    for pair, j in got.items():
+        assert true_pairs.get(pair) == j
+    # the exact-dup pair can never be missed by any banding
+    assert (0, 2) in got
+
+
+def test_simhash_near_duplicates(docs_df):
+    sigs = {r.id: r.simhash for r in dedup.simhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[2]  # identical docs, identical signature
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates(docs_df, max_hamming=12).collect()
+    }
+    assert pairs[(0, 2)] == 0
+    # verify hamming values against python popcount of the signatures
+    for (a, b), h in pairs.items():
+        assert bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") == h
+
+
+def test_keep_canonical(docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, threshold=0.5)
+    kept = {r.doc_id for r in dedup.keep_canonical(docs_df, pairs).collect()}
+    assert 0 in kept and 2 not in kept  # higher id of each dup pair dropped
+    assert kept <= set(range(10))
+
+
+# ------------------------------------------------------------------ similarity
+
+DIM, NVEC = 16, 60
+
+
+def _vectors():
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((NVEC, DIM))
+    v[7] = v[3] * 1.5 + rng.standard_normal(DIM) * 0.01   # planted near-dup
+    v[9] = v[3] * 0.8
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    v = _vectors()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(NVEC)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _cos_matrix():
+    v = _vectors().astype(np.float32).astype(np.float64)  # match float cast
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return n @ n.T
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    cos = _cos_matrix()
+    queries = emb_df.where("vec_id < 4")
+    got = {}
+    for r in similarity.cosine_topk(emb_df, queries, k=5).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q in range(4):
+        order = sorted(
+            (i for i in range(NVEC) if i != q),
+            key=lambda i: (-cos[q, i], i),
+        )[:5]
+        assert [nid for _, nid in sorted(got[q])] == order
+
+
+def test_embedding_near_duplicates(emb_df):
+    cos = _cos_matrix()
+    got = {(r.id_a, r.id_b) for r in
+           dedup.embedding_near_duplicates(emb_df, threshold=0.95).collect()}
+    expected = {(a, b) for a in range(NVEC) for b in range(a + 1, NVEC)
+                if cos[a, b] >= 0.95 - 1e-9}
+    assert got == expected
+    assert (3, 7) in got and (3, 9) in got
+
+
+def test_lsh_topk_recall(emb_df):
+    """Approximate path: recall@5 vs the exact oracle must clear 0.6 with
+    8 planes × 4 tables on this corpus (deterministic: seeded planes)."""
+    queries = emb_df.where("vec_id < 10")
+    exact = {}
+    for r in similarity.cosine_topk(emb_df, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in similarity.cosine_lsh_topk(emb_df, queries, k=5, planes=8, tables=4).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.6
+    # planted near-dup must be found for its query
+    assert 7 in approx.get(3, set())
+
+
+def test_ivf_topk_recall(emb_df):
+    queries = emb_df.where("vec_id < 10")
+    cents = similarity.train_centroids(emb_df, c=4, iters=3, dim=DIM)
+    exact = {}
+    for r in similarity.cosine_topk(emb_df, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in similarity.ivf_topk(emb_df, queries, cents, k=5, nprobe=2).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.5
+
+
+# ------------------------------------------------------------------ text
+
+def test_language_id(docs_df):
+    got = {r.doc_id: r.predicted_lang for r in T.language_id(docs_df).collect()}
+    assert got[0] == "en" and got[6] == "de" and got[7] == "es"
+    assert got[9] == "unknown"
+
+
+def test_quality_scores_match_python(docs_df):
+    import re
+
+    got = {r.doc_id: r for r in T.quality_scores(docs_df).collect()}
+    for did, text in DOCS:
+        toks = text.strip().split() if text.strip() else [""]
+        n_tokens = len(toks)
+        n_chars = len(text)
+        punct = len(re.findall(r"[^A-Za-z0-9\s]", text))
+        r = got[did]
+        assert r.n_chars == n_chars
+        assert r.punct_ratio == round(punct / max(n_chars, 1), 6)
+        assert r.passes_quality == (
+            n_tokens >= 5 and n_chars >= 20 and punct / max(n_chars, 1) < 0.3
+        )
+
+
+def test_token_counts_match_python(docs_df):
+    import re
+
+    got = {r.doc_id: r for r in T.token_counts(docs_df).collect()}
+    for did, text in DOCS:
+        assert got[did].re_tokens == len(re.findall(T.TOKEN_RE, text))
+
+
+def test_fingerprints_normalize(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "HELLO ... world"),
+         (3, "different doc")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in T.fingerprints(df).collect()}
+    assert fp[0] == fp[1] == fp[2] != fp[3]
+
+
+def test_rolling_fingerprints_detect_overlap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(0, base), (1, "prefix words then " + base), (2, "wholly different words " * 3)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.min_gram_hash for r in
+           T.rolling_fingerprints(df, window_tokens=8).collect()}
+    # doc 1 contains doc 0's token windows → shares a min-gram candidate iff
+    # the global min window of doc 0 also appears in doc 1 — here doc 0's
+    # windows are a subset of doc 1's, so min(doc1) <= min(doc0)
+    assert got[1] <= got[0]
+
+
+# ------------------------------------------------------------------ multimodal
+
+def test_image_features_native_and_stub(spark):
+    from jsonschema_spark.functions import imagecodecs as codecs
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    rows = [
+        ("a", bytearray(codecs.png_encode(px)), "png", 4, 3),
+        ("b", bytearray(codecs.raw_encode(px)), "raw", 4, 3),
+        ("c", bytearray(b"\xff" * 36), "jpeg", 4, 3),       # exotic → stub
+        ("d", bytearray(b"garbage"), "png", 4, 3),          # broken payload
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string, w int, h int")
+
+    out = {r.image_id: r for r in multimodal.image_features(df, fake_exotic=True).collect()}
+    assert out["a"].ok and abs(out["a"].mean_r - px[:, :, 0].mean()) < 1e-6
+    assert out["b"].ok and out["b"].width == 4 and out["b"].height == 3
+    assert out["c"].ok and out["c"].mean_r == 255.0        # deterministic fake
+    assert not out["d"].ok and "PNG" in out["d"].err or not out["d"].ok
+
+    # without the fake, exotic formats must surface NotImplementedError
+    out2 = {r.image_id: r for r in multimodal.image_features(df, fake_exotic=False).collect()}
+    assert not out2["c"].ok and "external codec" in out2["c"].err
+
+
+def test_resize_images_roundtrip(spark):
+    from jsonschema_spark.functions import imagecodecs as codecs
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame(
+        [("a", bytearray(codecs.png_encode(px)), 8, 8, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    out = multimodal.resize_images(df, 4, 4).collect()[0]
+    assert (out.w, out.h) == (4, 4)
+    decoded = codecs.png_decode(bytes(out.bytes))
+    assert decoded.shape == (4, 4, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    src = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in decoded.reshape(-1, 3))
+
+
+def test_video_frame_sampling(spark):
+    # fake "video": concatenated raw frames, frame_size = w*h*3
+    w = h = 4
+    frames = [np.full((h, w, 3), i * 10, dtype=np.uint8) for i in range(10)]
+    payload = b"".join(f.tobytes() for f in frames)
+    df = spark.createDataFrame(
+        [("vid0", bytearray(payload), w, h, 10)],
+        "media_id string, bytes binary, w int, h int, n_frames int",
+    )
+    out = multimodal.sample_video_frames(df, every_k=3).collect()
+    idxs = sorted(r.frame_idx for r in out)
+    assert idxs == [0, 3, 6, 9]
+    for r in out:
+        arr = np.frombuffer(bytes(r.bytes), dtype=np.uint8)
+        assert arr[0] == r.frame_idx * 10
+
+
+def test_audio_features(spark):
+    t = np.linspace(0, 1, 8000)
+    sine = (np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    silence = np.zeros(8000, dtype="<i2")
+    df = spark.createDataFrame(
+        [("s1", bytearray(sine.tobytes())), ("s2", bytearray(silence.tobytes()))],
+        "media_id string, bytes binary",
+    )
+    out = {r.media_id: r for r in multimodal.audio_features(df, fake_pcm=True).collect()}
+    # stub path surfaces the missing-library error instead of crashing
+    stub = multimodal.audio_features(df).collect()[0]
+    assert not stub.ok and "external library" in stub.err
+    assert out["s1"].n_samples == 8000
+    assert out["s1"].rms == pytest.approx(float(np.sqrt((sine.astype(np.float64) ** 2).mean())), rel=1e-6)
+    assert out["s2"].rms == 0.0

@@ -1,0 +1,88 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.md protocol).
+
+A real N/4N-executor cluster is unavailable in this sandbox, so the
+criterion is evidenced by running the IDENTICAL full-suite job at two
+parallelism levels on the SAME parquet input:
+
+    python tools/scaling_bench.py --cores 8
+    python tools/scaling_bench.py --cores 32
+
+Each invocation is its own JVM (like a separate cluster submission): one
+warm-up run (discarded — codegen/JIT) then --runs timed runs; prints one
+JSON line {cores, runs:[sec...], median_sec, images_per_sec}.
+
+tools/run_scaling.py orchestrates both levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--n-images", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000")))
+    ap.add_argument("--data", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata"))
+    args = ap.parse_args()
+
+    from jsonschema_spark.engine import get_session, validate_table
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.passes.drift import baseline_profile
+
+    spark = get_session("scaling-bench", master=f"local[{args.cores}]",
+                        parallelism=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = args.n_images
+    cfg = FX.FixtureConfig(n=n, n_parts=256, with_bytes=False)
+    table_dir = os.path.join(args.data, f"images_{n}")
+    base_dir = os.path.join(args.data, f"baseline_{n}")
+    if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        FX.generate_images_df(spark, cfg).write.mode("overwrite").parquet(table_dir)
+    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        clean = FX.FixtureConfig(n=n, n_parts=256, plants=False,
+                                 with_bytes=False, drift_part=-1)
+        baseline_profile(FX.generate_images_df(spark, clean),
+                         FX.drift_columns()).write.mode("overwrite").parquet(base_dir)
+
+    fact = spark.read.parquet(table_dir)
+    baseline = spark.read.parquet(base_dir)
+    dims = {"dim_fmt": FX.dim_fmt_df(spark), "dim_license": FX.dim_license_df(spark, cfg)}
+
+    def one_run() -> float:
+        t0 = time.time()
+        res = validate_table(fact, FX.SPEC_IMAGES, dims=dims, baseline=baseline,
+                             drift_columns=FX.drift_columns())
+        for df in (res.violations, res.verdicts, res.stats):
+            df.write.format("noop").mode("overwrite").save()
+        # release the per-run caches so runs are independent
+        spark.catalog.clearCache()
+        return time.time() - t0
+
+    one_run()  # warm-up, discarded
+    runs = [round(one_run(), 2) for _ in range(args.runs)]
+    med = statistics.median(runs)
+    print(json.dumps({
+        "cores": args.cores,
+        "n_images": n,
+        "runs": runs,
+        "median_sec": med,
+        "images_per_sec": round(n / med, 1),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
