@@ -366,6 +366,54 @@ def q_json_events(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select("event_id", k.alias("k")).where(k < 30)
 
 
+def q_json_validate_events(spark: SparkSession, sf: str) -> DataFrame:
+    """B25/A15: spec-driven validation of a JSON-string payload column —
+    from_json into the spec-derived struct, keywords as codegen predicates."""
+    from jsonschema_spark.engine import validate_json_rows
+
+    spec = {
+        "properties": {"k": {"type": "integer", "minimum": 20, "maximum": 80}},
+        "required": ["k"],
+    }
+    return validate_json_rows(_t(spark, sf, "events"), "props", spec, keys=["event_id"])
+
+
+SQL_JSON_VALIDATE_EVENTS = """
+WITH k AS (
+  SELECT event_id, props,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+  FROM events
+)
+SELECT event_id, 'minimum' AS keyword, '/k' AS path, CAST(kv AS VARCHAR) AS value
+FROM k WHERE kv IS NOT NULL AND kv < 20
+UNION ALL
+SELECT event_id, 'maximum', '/k', CAST(kv AS VARCHAR)
+FROM k WHERE kv IS NOT NULL AND kv > 80
+UNION ALL
+SELECT event_id, 'required', '/k', NULL
+FROM k WHERE props IS NOT NULL AND kv IS NULL
+"""
+
+
+def q_grouping_sets_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """B17: per-partition AND global violation counts in one aggregation
+    via GROUPING SETS."""
+    v = q_enum_pattern_orders(spark, sf).withColumn(
+        "part", (F.col("o_orderkey") % 8).cast("int")
+    )
+    return v.groupingSets([["part", "keyword"], ["keyword"]], "part", "keyword").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_GROUPING_SETS_ORDERS = f"""
+WITH base AS ({SQL_ENUM_PATTERN_ORDERS}),
+v AS (SELECT CAST(o_orderkey % 8 AS INT) AS part, keyword FROM base)
+SELECT part, keyword, count(*) AS n
+FROM v GROUP BY GROUPING SETS ((part, keyword), (keyword))
+"""
+
+
 SQL_JSON_EVENTS = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) < 30
@@ -633,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_documents": q_ks_documents,
         "array_embeddings": q_array_embeddings,
         "json_events": q_json_events,
+        "json_validate_events": q_json_validate_events,
+        "grouping_sets_orders": q_grouping_sets_orders,
         "topk_violations_orders": q_topk_violations_orders,
         "resume_filter_orders": q_resume_filter_orders,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -665,6 +715,8 @@ def oracle_sql() -> dict[str, str]:
         "ks_documents": SQL_KS_DOCUMENTS,
         "array_embeddings": SQL_ARRAY_EMBEDDINGS,
         "json_events": SQL_JSON_EVENTS,
+        "json_validate_events": SQL_JSON_VALIDATE_EVENTS,
+        "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
         "topk_violations_orders": SQL_TOPK_VIOLATIONS_ORDERS,
         "resume_filter_orders": SQL_RESUME_FILTER_ORDERS,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,

@@ -421,6 +421,47 @@ class CompiledTableSpec:
         return sorted({c.check_id for c in self.checks})
 
 
+def spec_struct_type(node: SpecNode) -> T.DataType:
+    """Derive the Spark type a (sub)schema describes, for ``from_json``
+    parsing of JSON-string payload columns (SURVEY.md B25).
+
+    Unconstrained / union-typed nodes fall back to StringType (every JSON
+    scalar parses into a string; predicates then run on the string form)."""
+    t = node.type[0] if node.type else None
+    if node.properties or t == "object":
+        fields = [T.StructField(n, spec_struct_type(s), True)
+                  for n, s in node.properties.items()]
+        return T.StructType(fields) if fields else T.MapType(T.StringType(), T.StringType())
+    if t == "array" or node.items is not None or node.tuple_items is not None:
+        elem = spec_struct_type(node.items) if node.items is not None else T.StringType()
+        return T.ArrayType(elem, True)
+    if t == "integer":
+        return T.LongType()
+    if t == "number":
+        return T.DoubleType()
+    if t == "boolean":
+        return T.BooleanType()
+    if t is None and (
+        node.minimum is not None or node.maximum is not None
+        or node.multiple_of is not None
+    ):
+        # untyped node with numeric constraints: parse as number so the
+        # bound predicates stay numeric (a string field would skip them)
+        return T.DoubleType()
+    return T.StringType()
+
+
+def compile_json_column(spec: Spec, json_col: str) -> tuple[CompiledTableSpec, T.DataType]:
+    """Compile a spec against a JSON-STRING column: the payload is parsed
+    once with ``from_json`` into the spec-derived struct, then every keyword
+    runs as a normal codegen predicate on the parsed struct — dynamic-schema
+    validation without any per-row Python."""
+    dt = spec_struct_type(spec.root)
+    doc = F.from_json(F.col(json_col), dt)
+    checks = compile_node(spec.root, doc, "", json_col, dt)
+    return CompiledTableSpec(checks=checks, columns=[json_col], spec=spec), dt
+
+
 def compile_table(spec: Spec, schema: T.StructType) -> CompiledTableSpec:
     """Compile a root object-spec against a flat DataFrame schema: each
     ``properties`` entry maps to a top-level column (SURVEY.md §1.2)."""

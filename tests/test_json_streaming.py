@@ -1,0 +1,162 @@
+"""JSON-payload validation (B25/A15), verdict rollup (B17), and the
+Structured-Streaming variants (B26)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from jsonschema_spark.engine import rollup_verdicts, validate_json_rows
+from jsonschema_spark.local import validate as validate_local
+from jsonschema_spark import streaming as S
+
+
+JSON_SPEC = {
+    "type": "object",
+    "properties": {
+        "k": {"type": "integer", "minimum": 10},
+        "tag": {"type": "string", "pattern": "^t-"},
+        "nested": {"properties": {"x": {"maximum": 5}}},
+    },
+    "required": ["k"],
+}
+
+JSON_ROWS = [
+    (0, json.dumps({"k": 15, "tag": "t-a"})),                 # valid
+    (1, json.dumps({"k": 3})),                                # minimum
+    (2, json.dumps({"tag": "t-b"})),                          # required /k
+    (3, json.dumps({"k": 20, "tag": "oops"})),                # pattern /tag
+    (4, json.dumps({"k": 12, "nested": {"x": 9}})),           # maximum /nested/x
+    (5, "{not valid json"),                                   # malformed → type@root
+    (6, None),                                                # null payload → no checks
+    (7, json.dumps({"k": 11, "nested": {"x": 2}})),           # valid nested
+]
+
+
+def test_validate_json_rows(spark):
+    df = spark.createDataFrame(JSON_ROWS, "id long, props string")
+    got = {(r.id, r.keyword, r.path)
+           for r in validate_json_rows(df, "props", JSON_SPEC, keys=["id"]).collect()}
+    assert got == {
+        (1, "minimum", "/k"),
+        (2, "required", "/k"),
+        (3, "pattern", "/tag"),
+        (4, "maximum", "/nested/x"),
+        (5, "type", ""),
+    }
+
+
+def test_validate_json_rows_agrees_with_local(spark):
+    """Differential: parsed-JSON verdicts equal the E1 evaluator's."""
+    df = spark.createDataFrame(JSON_ROWS, "id long, props string")
+    bad = {r.id for r in validate_json_rows(df, "props", JSON_SPEC, ["id"]).collect()}
+    for i, payload in JSON_ROWS:
+        if payload is None:
+            assert i not in bad
+            continue
+        try:
+            doc = json.loads(payload)
+        except json.JSONDecodeError:
+            assert i in bad
+            continue
+        assert (len(validate_local(doc, JSON_SPEC)) > 0) == (i in bad), (i, payload)
+
+
+def test_rollup_verdicts(spark):
+    rows = [
+        (0, "minimum@/w", "minimum", "/w", True, 0),
+        (1, "minimum@/w", "minimum", "/w", False, 3),
+        (0, "enum@/fmt", "enum", "/fmt", True, 0),
+        (1, "enum@/fmt", "enum", "/fmt", True, 0),
+    ]
+    v = spark.createDataFrame(
+        rows, "part_id int, check_id string, keyword string, path string, "
+              "passed boolean, n_violations long")
+    out = rollup_verdicts(v).collect()
+    per_part = {(r.part_id, r.check_id): r for r in out if r.part_id is not None}
+    glob = {r.check_id: r for r in out if r.part_id is None}
+    assert len(out) == 6
+    assert per_part[(1, "minimum@/w")].n_violations == 3
+    assert glob["minimum@/w"].passed is False and glob["minimum@/w"].n_violations == 3
+    assert glob["enum@/fmt"].passed is True and glob["enum@/fmt"].n_violations == 0
+
+
+# ------------------------------------------------------------------ streaming
+
+def _run_stream(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_validate_stream(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, None)], "id long, value double"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("id long, value double").parquet(str(src))
+    viols = S.validate_stream(
+        stream, {"properties": {"value": {"minimum": 10}}, "required": ["value"]},
+        keys=["id"],
+    )
+    assert viols.isStreaming
+    q = (viols.writeStream.format("memory").queryName("v_out")
+         .outputMode("append").start())
+    _run_stream(q)
+    got = {(r.id, r.keyword) for r in spark.sql("SELECT * FROM v_out").collect()}
+    assert got == {(1, "minimum"), (3, "required")}
+
+
+def test_windowed_stats_stream(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src2"
+    df = spark.createDataFrame(
+        [(1, 5.0, "2024-01-01 00:00:10"), (2, 50.0, "2024-01-01 00:00:20"),
+         (3, None, "2024-01-01 00:01:10"), (4, 7.0, "2024-01-01 00:01:30")],
+        "id long, value double, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema("id long, value double, ts timestamp").parquet(str(src))
+    stats = S.windowed_stats_stream(stream, ["value"], ts_col="ts", window="1 minute")
+    # complete mode: emit every window each trigger (append would wait for
+    # the watermark to close a window, which a finite source never advances)
+    q = (stats.writeStream.format("memory").queryName("s_out")
+         .outputMode("complete").start())
+    _run_stream(q)
+    rows = {r.win.start.strftime("%H:%M"): r for r in spark.sql("SELECT * FROM s_out").collect()}
+    assert rows["00:00"].value_min == "5.0" and rows["00:00"].value_max == "50.0"
+    assert rows["00:00"].value_count == 2
+    assert rows["00:01"].value_count == 1 and rows["00:01"].value_nulls == 1
+
+
+def test_drift_state_stream(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src3"
+    # two files → maxFilesPerTrigger=1 forces two micro-batches: state must
+    # carry bucket counts across batches
+    spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 50.0, "a")], "id long, value double, grp string"
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(3, 55.0, "a"), (4, 200.0, "b")], "id long, value double, grp string"
+    ).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema("id long, value double, grp string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    hist = S.drift_state_stream(stream, "value", "grp", lo=0.0, hi=100.0, buckets=10)
+    q = (hist.writeStream.format("memory").queryName("h_out")
+         .outputMode("update").start())
+    _run_stream(q)
+    last = {}
+    for r in spark.sql("SELECT * FROM h_out").collect():
+        last[(r.grp, r.bucket)] = max(last.get((r.grp, r.bucket), 0), r.n)
+    # group a: 5.0 → bucket 1, 50.0 and 55.0 → bucket 6 (accumulated across batches)
+    assert last[("a", 1)] == 1
+    assert last[("a", 6)] == 2
+    # group b: 200 ≥ hi → overflow bucket 11
+    assert last[("b", 11)] == 1
