@@ -110,8 +110,19 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         res.verdicts.write.mode("overwrite").partitionBy("pass_id", "part_id")
         .parquet(args.out + "/verdicts")
     )
+    global_distinct = {}
     if res.stats is not None:
         res.stats.write.mode("overwrite").partitionBy("part_id").parquet(args.out + "/stats")
+        # B15: the stats sink keeps every partition's HLL sketch (dynamic
+        # overwrite preserves completed parts across resumes), so the
+        # table-wide distinct estimate merges sketches over ALL partitions —
+        # including ones validated before a kill — via hll_union_agg.
+        from .passes.stats import merge_sketches
+
+        global_distinct = {
+            r.column: int(r.n_distinct_merged)
+            for r in merge_sketches(spark.read.parquet(args.out + "/stats")).collect()
+        }
 
     # lineage rows: per-partition row + violation counts from the written outputs
     vc = {
@@ -141,6 +152,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         "n_partitions": len(pending_parts),
         "wall_sec": round(elapsed, 3),
         "images_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else 0.0,
+        "global_distinct": global_distinct,
     }
     man.write_summary(summary)
     print(json.dumps(summary))

@@ -25,9 +25,27 @@ DEFAULT_SALT_BUCKETS = 64
 def duplicate_keys(
     df: DataFrame,
     key_cols: list[str],
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
-    """Keys appearing more than once: (key..., n_dups). Exact."""
+    """Keys appearing more than once: (key..., n_dups). Exact.
+
+    Default is a SINGLE hash aggregation: for an algebraic agg (count),
+    Catalyst's map-side partial aggregation already collapses a hot key to
+    one partial row per task, so each reducer receives at most #tasks rows
+    per key — skew-safe without salting. (Measured on 32M rows with a
+    planted 10%-hot key: plain 2.3s vs two-stage salted 5.0s on local[32].)
+
+    ``salt_buckets`` keeps the explicit two-stage salted form for
+    non-algebraic follow-ups (e.g. collect_list of example rows per key)
+    where partial aggregation cannot collapse the hot key.
+    """
+    if salt_buckets is None:
+        return (
+            df.select(*key_cols)
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n_dups"))
+            .where(F.col("n_dups") > 1)
+        )
     # Salt from the physical input split — deterministic within a job and
     # independent of the key value, so hot keys are split across reducers.
     salted = df.select(*key_cols).withColumn(
@@ -43,7 +61,7 @@ def uniqueness_violations(
     key_cols: list[str],
     key_col: str,
     part_col: str = "part_id",
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Violation rows for duplicated keys, in the engine's violation schema
     (part_id, row_key, keyword, path, value). ``key_col`` is the table's

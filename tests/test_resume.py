@@ -80,6 +80,12 @@ def test_kill_and_resume(spark, workspace):
         .write.mode("overwrite").partitionBy("pass_id", "part_id")
         .parquet(str(ws / "out_half" / "violations"))
     )
+    full_stats = spark.read.parquet(str(ws / "out_full" / "stats"))
+    (
+        full_stats.where(full_stats.part_id.isin(DONE_PARTS))
+        .write.mode("overwrite").partitionBy("part_id")
+        .parquet(str(ws / "out_half" / "stats"))
+    )
 
     # resume: must process ONLY the pending partitions
     resumed = run_job(spark, ws, "man_half", "out_half", resume=True)
@@ -93,6 +99,13 @@ def test_kill_and_resume(spark, workspace):
     # manifest now covers every partition
     done = set(Manifest(spark, str(ws / "man_half")).completed_parts("full"))
     assert done == set(range(CFG.n_parts))
+
+    # B15: table-wide HLL distinct merges sketches across the resume
+    # boundary — the resumed job's estimate covers ALL partitions
+    assert resumed["global_distinct"]["image_id"] == full["global_distinct"]["image_id"]
+    n_ids = len({f"img-{i:012d}" for i in range(CFG.n)})
+    est = resumed["global_distinct"]["image_id"]
+    assert abs(est - n_ids) / n_ids < 0.1  # HLL within 10% at n=800
 
     # idempotent: a second resume is a no-op
     again = run_job(spark, ws, "man_half", "out_half", resume=True)

@@ -139,6 +139,18 @@ def test_verdict_matrix_consistency(result, spark_violations):
         assert v.passed == (n == 0)
 
 
+def test_salted_equals_plain_uniqueness(spark):
+    """SURVEY §5.4 property: the salted two-stage aggregation and the plain
+    single-stage aggregation find identical duplicate sets."""
+    from jsonschema_spark.passes.uniqueness import duplicate_keys
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)] + [(99,)], "k long")
+    plain = {(r.k, r.n_dups) for r in duplicate_keys(df, ["k"]).collect()}
+    salted = {(r.k, r.n_dups) for r in duplicate_keys(df, ["k"], salt_buckets=8).collect()}
+    assert plain == salted
+    assert plain == {(i, 15 if i < 2 else 14) for i in range(7)}
+
+
 def test_stats_never_touch_bytes(result):
     assert result.stats is not None
     cols = {r.column for r in result.stats.select("column").distinct().collect()}

@@ -30,18 +30,32 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--warmups", type=int, default=1)
     ap.add_argument("--n-images", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000")))
     ap.add_argument("--data", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata"))
     args = ap.parse_args()
 
-    from jsonschema_spark.engine import get_session, validate_table
+    from jsonschema_spark.engine import recommended_conf, validate_table
     from jsonschema_spark import fixtures as FX
     from jsonschema_spark.passes.drift import baseline_profile
+    from pyspark.sql import SparkSession
 
-    spark = get_session("scaling-bench", master=f"local[{args.cores}]",
-                        parallelism=args.cores)
+    # Local-mode measurement hygiene: shuffle scratch on tmpfs (a real
+    # cluster's shuffle I/O scales with node count — one shared disk in
+    # local mode would charge a non-scaling cost to both levels), and the
+    # throughput-oriented parallel GC for a 32-thread single JVM.
+    b = (SparkSession.builder.appName("scaling-bench")
+         .master(f"local[{args.cores}]")
+         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+         .config("spark.local.dir", "/dev/shm/spark-scratch")
+         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false"))
+    for k, v in recommended_conf(args.cores).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     n = args.n_images
@@ -70,7 +84,8 @@ def main() -> None:
         spark.catalog.clearCache()
         return time.time() - t0
 
-    one_run()  # warm-up, discarded
+    for _ in range(args.warmups):  # JIT/codegen warm-up, discarded
+        one_run()
     runs = [round(one_run(), 2) for _ in range(args.runs)]
     med = statistics.median(runs)
     print(json.dumps({
