@@ -99,10 +99,11 @@ def main() -> None:
               "dim_license": FX.dim_license_df(spark, cfg)},
         baseline=baseline, drift_columns=FX.drift_columns(),
     )
-    sink(res.violations)
-    sink(res.verdicts)
-    if res.stats is not None:
-        sink(res.stats)
+    from concurrent.futures import ThreadPoolExecutor
+
+    outs = [df for df in (res.violations, res.verdicts, res.stats) if df is not None]
+    with ThreadPoolExecutor(len(outs)) as ex:  # independent DAGs: overlap stage gaps
+        list(ex.map(sink, outs))
     suite_sec = round(time.time() - t0, 3)
     timings["images_full_suite"] = suite_sec
 

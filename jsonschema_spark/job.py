@@ -101,18 +101,32 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     # overwrite, a resumed run rewrites exactly the cells it recomputed —
     # pending partitions for the per-partition passes, all partitions for
     # the global uniqueness pass — and completed cells survive (B4).
-    (
-        res.violations.repartition("pass_id", "part_id")
-        .write.mode("overwrite").partitionBy("pass_id", "part_id")
-        .parquet(args.out + "/violations")
-    )
-    (
-        res.verdicts.write.mode("overwrite").partitionBy("pass_id", "part_id")
-        .parquet(args.out + "/verdicts")
-    )
+    # The three outputs are independent DAGs: submit concurrently so one
+    # job's stage gaps are filled by another's tasks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        lambda: (
+            res.violations.repartition("pass_id", "part_id")
+            .write.mode("overwrite").partitionBy("pass_id", "part_id")
+            .parquet(args.out + "/violations")
+        ),
+        lambda: (
+            res.verdicts.write.mode("overwrite").partitionBy("pass_id", "part_id")
+            .parquet(args.out + "/verdicts")
+        ),
+    ]
+    if res.stats is not None:
+        writes.append(
+            lambda: res.stats.write.mode("overwrite").partitionBy("part_id")
+            .parquet(args.out + "/stats")
+        )
+    with ThreadPoolExecutor(len(writes)) as ex:
+        for f in ex.map(lambda w: w(), writes):
+            pass
+
     global_distinct = {}
     if res.stats is not None:
-        res.stats.write.mode("overwrite").partitionBy("part_id").parquet(args.out + "/stats")
         # B15: the stats sink keeps every partition's HLL sketch (dynamic
         # overwrite preserves completed parts across resumes), so the
         # table-wide distinct estimate merges sketches over ALL partitions —

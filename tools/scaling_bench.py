@@ -75,11 +75,19 @@ def main() -> None:
     dims = {"dim_fmt": FX.dim_fmt_df(spark), "dim_license": FX.dim_license_df(spark, cfg)}
 
     def one_run() -> float:
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = time.time()
         res = validate_table(fact, FX.SPEC_IMAGES, dims=dims, baseline=baseline,
                              drift_columns=FX.drift_columns())
-        for df in (res.violations, res.verdicts, res.stats):
-            df.write.format("noop").mode("overwrite").save()
+        # the three outputs are independent DAGs — submit concurrently so
+        # stage gaps of one job are filled by tasks of another (same as
+        # job.py's sink writes)
+        with ThreadPoolExecutor(3) as ex:
+            list(ex.map(
+                lambda df: df.write.format("noop").mode("overwrite").save(),
+                (res.violations, res.verdicts, res.stats),
+            ))
         # release the per-run caches so runs are independent
         spark.catalog.clearCache()
         return time.time() - t0
