@@ -289,7 +289,7 @@ SELECT event_type,
   ROUND(SUM((GREATEST(p_obs,1e-6) - GREATEST(p_expected,1e-6))
             * LN(GREATEST(p_obs,1e-6) / GREATEST(p_expected,1e-6))), 6) AS psi,
   ROUND(MAX(ABS(cdf_obs - cdf_exp)), 6) AS ks_d,
-  MAX(n_tot) AS n
+  CAST(MAX(n_tot) AS BIGINT) AS n
 FROM c GROUP BY 1
 """
 
@@ -337,7 +337,7 @@ c AS (
       ORDER BY COALESCE(TRY_CAST(bucket AS DOUBLE),1e308), bucket ROWS UNBOUNDED PRECEDING) AS cdf_exp
   FROM t
 )
-SELECT lang, ROUND(MAX(ABS(cdf_obs - cdf_exp)), 6) AS ks_d, MAX(n_tot) AS n
+SELECT lang, ROUND(MAX(ABS(cdf_obs - cdf_exp)), 6) AS ks_d, CAST(MAX(n_tot) AS BIGINT) AS n
 FROM c GROUP BY 1
 """
 
@@ -392,7 +392,8 @@ SELECT event_id, 'maximum', '/k', CAST(kv AS VARCHAR)
 FROM k WHERE kv IS NOT NULL AND kv > 80
 UNION ALL
 SELECT event_id, 'required', '/k', NULL
-FROM k WHERE props IS NOT NULL AND kv IS NULL
+-- draft-4: `required` applies only to JSON objects (matches engine semantics)
+FROM k WHERE props IS NOT NULL AND json_valid(props) AND trim(props) LIKE '{%' AND kv IS NULL
 """
 
 

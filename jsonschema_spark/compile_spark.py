@@ -427,7 +427,16 @@ def spec_struct_type(node: SpecNode) -> T.DataType:
 
     Unconstrained / union-typed nodes fall back to StringType (every JSON
     scalar parses into a string; predicates then run on the string form)."""
-    t = node.type[0] if node.type else None
+    # Only an unambiguous single type drives the parse type: for a union like
+    # ["integer","string"], parsing as Long would null out valid strings and
+    # fabricate required/type violations — fall through to StringType. The
+    # all-numeric union ["integer","number"] is losslessly a double.
+    if node.type and len(node.type) == 1:
+        t = node.type[0]
+    elif node.type and set(node.type) <= {"integer", "number"}:
+        t = "number"
+    else:
+        t = None
     if node.properties or t == "object":
         fields = [T.StructField(n, spec_struct_type(s), True)
                   for n, s in node.properties.items()]

@@ -267,8 +267,16 @@ SPEC_IMAGES = {
             {"column": "image_id", "dim": "dim_license", "key": "image_id",
              "strategy": "shuffle_hash"},
         ],
-        "drift": {"columns": ["w", "h", "fmt", "length(caption)"],
-                  "baseline": "baseline_profile", "ks_alpha": 0.01, "psi_max": 0.2},
+        # object entries carry the histogram grid explicitly (job.py
+        # parse_drift_columns) — identical to drift_columns() below, so the
+        # E3 CLI path and the library path share one bucket grid.
+        "drift": {"columns": [
+            {"expr": "w", "name": "w", "lo": 0, "hi": 128, "buckets": 32},
+            {"expr": "h", "name": "h", "lo": 0, "hi": 128, "buckets": 32},
+            {"expr": "fmt", "name": "fmt", "kind": "categorical"},
+            {"expr": "length(caption)", "name": "caption_len",
+             "lo": 0, "hi": 1024, "buckets": 32},
+        ], "baseline": "baseline_profile", "ks_alpha": 0.01, "psi_max": 0.2},
     },
 }
 

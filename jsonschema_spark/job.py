@@ -28,22 +28,53 @@ from .spec import parse
 from .passes.drift import DriftColumn
 
 
+def _drift_name(expr: str) -> str:
+    return expr.replace("length(", "len_").rstrip(")") if "(" in expr else expr
+
+
 def parse_drift_columns(spec) -> list[DriftColumn]:
-    """Build DriftColumn configs from the spec's drift block: numeric columns
-    get 32 buckets over the spec-declared [minimum, maximum] range."""
+    """Build DriftColumn configs from the spec's drift block.
+
+    Two entry forms:
+    - object: ``{"expr": "length(caption)", "name": "caption_len",
+      "kind": "numeric", "lo": 0, "hi": 1024, "buckets": 32}`` — explicit
+      ranges, required for expression columns (a guessed range like
+      [0, 2^20) collapses every value into one bucket and blinds KS/PSI).
+    - bare string: a property name; numeric ranges derive from the
+      spec-declared minimum/maximum, strings become categorical. An entry
+      with no derivable range is an error, not a degenerate histogram.
+
+    The SAME config must drive both the observed histograms and the
+    baseline profile — ranges define the bucket grid they share.
+    """
     d = spec.table_checks.drift
     if not d:
         return []
     out = []
     for entry in d.get("columns", []):
-        name = entry.replace("length(", "len_").rstrip(")") if "(" in entry else entry
+        if isinstance(entry, dict):
+            expr = entry["expr"]
+            name = entry.get("name") or _drift_name(expr)
+            if entry.get("kind", "numeric") == "categorical":
+                out.append(DriftColumn(name, expr, "categorical"))
+            else:
+                out.append(DriftColumn(
+                    name, expr, "numeric", float(entry.get("lo", 0.0)),
+                    float(entry["hi"]), int(entry.get("buckets", 32))))
+            continue
+        name = _drift_name(entry)
         prop = spec.root.properties.get(entry)
         if prop is not None and prop.type and "string" in prop.type and "(" not in entry:
             out.append(DriftColumn(name, entry, "categorical"))
-        else:
-            lo = prop.minimum if prop and prop.minimum is not None else 0.0
-            hi = prop.maximum if prop and prop.maximum is not None else 1 << 20
-            out.append(DriftColumn(name, entry, "numeric", float(lo), float(hi), 32))
+            continue
+        lo = prop.minimum if prop and prop.minimum is not None else 0.0
+        hi = prop.maximum if prop and prop.maximum is not None else None
+        if hi is None:
+            raise ValueError(
+                f"drift column {entry!r} has no derivable numeric range "
+                "(no matching property with minimum/maximum); use the object "
+                'form {"expr": ..., "lo": ..., "hi": ..., "buckets": ...}')
+        out.append(DriftColumn(name, entry, "numeric", float(lo), float(hi), 32))
     return out
 
 
@@ -60,6 +91,14 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--top-k", type=int, default=None)
     ap.add_argument("--parallelism", type=int, default=None)
+    # B28: sampled decoded-pixel PSNR>=40dB + caption-equality fidelity pass
+    # (the only pass that reads `bytes`). The expected pixels re-derive from
+    # the deterministic generator via image_id index, so the pass needs the
+    # generator layout (n_parts, drift_part) it was built with.
+    ap.add_argument("--sample-fidelity", type=float, default=None,
+                    help="sampling fraction for the decoded-pixel fidelity pass")
+    ap.add_argument("--fidelity-nparts", type=int, default=16)
+    ap.add_argument("--fidelity-driftpart", type=int, default=7)
     args = ap.parse_args(argv)
 
     own_session = spark is None
@@ -89,6 +128,18 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         print(json.dumps(summary))
         return summary
 
+    fidelity_fn = None
+    if args.sample_fidelity:
+        from .passes import fidelity as P5
+        from . import fixtures as FX
+
+        fcfg = FX.FixtureConfig(
+            n=0, n_parts=args.fidelity_nparts, drift_part=args.fidelity_driftpart
+        )
+        fidelity_fn = lambda df: P5.fidelity_violations(  # noqa: E731
+            df, fcfg, fraction=args.sample_fidelity, part_col=args.part_col
+        )
+
     res = validate_table(
         fact, spec, dims=dims, baseline=baseline,
         key_col=args.key_col, part_col=args.part_col, top_k=args.top_k,
@@ -96,29 +147,41 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         # uniqueness is table-global: a dup can span a done and a pending
         # partition, so P2 always scans the full table's key columns
         uniqueness_scope=fact_full,
+        fidelity_fn=fidelity_fn,
     )
-    # Sinks partitioned by (pass_id, part_id): with dynamic partition
-    # overwrite, a resumed run rewrites exactly the cells it recomputed —
-    # pending partitions for the per-partition passes, all partitions for
-    # the global uniqueness pass — and completed cells survive (B4).
+    # Sinks partitioned by (pass_id, part_id). Overwrite semantics:
+    # - resume: DYNAMIC partition overwrite rewrites exactly the cells this
+    #   run recomputed (pending partitions per-partition, all partitions for
+    #   the global uniqueness pass) and completed cells survive (B4).
+    # - fresh run: STATIC overwrite truncates the whole sink first — dynamic
+    #   mode would leave stale cells from a previous run with a different
+    #   spec/data (a partition whose violations dropped to zero writes no
+    #   rows, so its old rows would survive and pollute the counts).
     # The three outputs are independent DAGs: submit concurrently so one
     # job's stage gaps are filled by another's tasks.
     from concurrent.futures import ThreadPoolExecutor
 
+    ow_mode = "dynamic" if args.resume else "static"
+
     writes = [
         lambda: (
             res.violations.repartition("pass_id", "part_id")
-            .write.mode("overwrite").partitionBy("pass_id", "part_id")
+            .write.mode("overwrite").option("partitionOverwriteMode", ow_mode)
+            .partitionBy("pass_id", "part_id")
             .parquet(args.out + "/violations")
         ),
         lambda: (
-            res.verdicts.write.mode("overwrite").partitionBy("pass_id", "part_id")
+            res.verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", ow_mode)
+            .partitionBy("pass_id", "part_id")
             .parquet(args.out + "/verdicts")
         ),
     ]
     if res.stats is not None:
         writes.append(
-            lambda: res.stats.write.mode("overwrite").partitionBy("part_id")
+            lambda: res.stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", ow_mode)
+            .partitionBy("part_id")
             .parquet(args.out + "/stats")
         )
     with ThreadPoolExecutor(len(writes)) as ex:
@@ -138,16 +201,26 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
             for r in merge_sketches(spark.read.parquet(args.out + "/stats")).collect()
         }
 
-    # lineage rows: per-partition row + violation counts from the written outputs
+    # lineage rows: per-partition row + violation counts from the written
+    # outputs. Row counts come from the stats sink (every column row of a
+    # partition carries the same n_rows) — re-scanning the fact table for
+    # numbers already on disk would be an entire extra 100 TB read.
     vc = {
         r.part_id: r.n
         for r in spark.read.parquet(args.out + "/violations")
         .groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    rc = {
-        r.part_id: r.n
-        for r in fact.groupBy(args.part_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    if res.stats is not None:
+        rc = {
+            r.part_id: r.n
+            for r in spark.read.parquet(args.out + "/stats")
+            .groupBy("part_id").agg(F.max("n_rows").alias("n")).collect()
+        }
+    else:  # no stat columns in the spec — fall back to one narrow count scan
+        rc = {
+            r.part_id: r.n
+            for r in fact.groupBy(args.part_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
     wall_ms = (time.time() - t0) * 1000
     man.record(
         [
@@ -170,6 +243,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     }
     man.write_summary(summary)
     print(json.dumps(summary))
+    res.cleanup()  # unpersist run caches — library callers keep their session
     if own_session:
         spark.stop()
     return summary
