@@ -482,9 +482,15 @@ SQL_NGRAM_JACCARD_DOCUMENTS = """
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
   FROM w, UNNEST(range(1, GREATEST(len(wl) - 1, 1))) AS t(i)
+),
+-- mirror of the engine's default hot-shingle cut (max_shingle_freq=1000)
+sh AS (
+  SELECT * FROM sh0 WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 1000
+  )
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
@@ -509,16 +515,103 @@ def q_simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.embedding_near_duplicates(
-        _t(spark, sf, "embeddings"), threshold=0.8
-    ).select("id_a", "id_b")
+    """LSH-bucketed near-dup detection (the wired scale path) verified
+    against DuckDB's brute-force all-pairs oracle. The synthetic embeddings
+    carry no natural near-dups, so the query plants them deterministically:
+    a perturbed copy (v*0.999+0.001, id+100000) of every vector joins the
+    corpus — each original/copy pair sits at cos≈0.99998, far above the
+    0.98 threshold, and the LSH route must find every one to stay green."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.999) + F.lit(0.001)).alias("embedding"),
+    )
+    aug = emb.unionByName(pert)
+    return dedup.embedding_near_duplicates(aug, threshold=0.98).select("id_a", "id_b")
 
 
 SQL_EMBEDDING_NEAR_DUPS = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x * 0.999 + 0.001) FROM base
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.8
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.98
 """
+
+
+def q_minhash_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Full MinHash dedup (LSH candidates + exact-Jaccard verify) — planted
+    exact-dup copies of the 50 lowest-id docs guarantee non-vacuous output.
+    xxhash64-based → rows-only check + pytest equivalence vs brute force."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = (
+        docs.orderBy("doc_id").limit(50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return dedup.minhash_dedup(docs.unionByName(copies), threshold=0.8)
+
+
+def q_simhash_near_dups_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash block-rotation near-dup pairs over documents ∪ planted copies
+    (identical text ⇒ Hamming 0). xxhash64-based → rows-only + pytest."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = (
+        docs.orderBy("doc_id").limit(50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return dedup.simhash_near_duplicates(docs.unionByName(copies), max_hamming=3)
+
+
+def q_hamming_pairs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """ORACLE-BACKED evidence that the block-rotation Hamming join is
+    exhaustive: signatures are md5-derived 60-bit hashes (SQL-expressible on
+    both engines, unlike xxhash64), planted pairs flip 2 bits (XOR 3), and
+    DuckDB brute-forces all pairs while Spark runs the pigeonhole equi-join
+    — identical output iff the candidate generation misses nothing."""
+    docs = _t(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    sig = docs.select(F.col("doc_id").alias("id"), h.alias("simhash"))
+    pert = sig.select(
+        (F.col("id") + 100000).alias("id"),
+        F.col("simhash").bitwiseXOR(F.lit(3)).alias("simhash"),
+    )
+    return dedup.hamming_near_duplicates(
+        sig.unionByName(pert), max_hamming=2, sig_col="simhash"
+    )
+
+
+SQL_HAMMING_PAIRS_DOCUMENTS = """
+WITH s AS (
+  SELECT doc_id AS id, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+aug AS (
+  SELECT id, h FROM s
+  UNION ALL
+  SELECT id + 100000, xor(h, 3) FROM s
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM aug a JOIN aug b ON a.id < b.id
+WHERE bit_count(xor(a.h, b.h)) <= 2
+"""
+
+
+def q_ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantized ANN: deterministic centroid training (ordered
+    sample), nprobe=4 of 8 clusters. Approximate by design → rows-only +
+    pytest recall check vs exact top-k."""
+    emb = _t(spark, sf, "embeddings")
+    cent = similarity.train_centroids(emb, c=8, iters=5)
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, cent, k=5, nprobe=4).select(
+        "query_id", "rank", "neighbor_id"
+    )
 
 
 # ------------------------------------------------------------------ similarity search
@@ -639,6 +732,21 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------------ fidelity (B28)
+
+def q_fidelity_images(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled decoded-pixel PSNR≥40dB + caption-equality pass over a
+    deterministic WITH-BYTES fixture table (fraction=1.0 at this size):
+    the planted bad-id and dup-id rows surface as fidelity violations.
+    Binary payloads → rows-only check; exact counts pinned in pytest."""
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.passes.fidelity import fidelity_violations
+
+    cfg = FX.FixtureConfig(n=2000, n_parts=16, with_bytes=True)
+    fact = FX.generate_images_df(spark, cfg)
+    return fidelity_violations(fact, cfg, fraction=1.0).orderBy("row_key", "path")
+
+
 # ------------------------------------------------------------------ flagship (rows-only)
 
 def q_images_full_suite(spark: SparkSession, sf: str) -> DataFrame:
@@ -691,9 +799,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_documents": q_simhash_documents,
+        "minhash_dedup_documents": q_minhash_dedup_documents,
+        "simhash_near_dups_documents": q_simhash_near_dups_documents,
+        "hamming_pairs_documents": q_hamming_pairs_documents,
         "embedding_near_dups": q_embedding_near_dups,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "fidelity_images": q_fidelity_images,
         "langid_documents": q_langid_documents,
         "quality_documents": q_quality_documents,
         "token_counts_documents": q_token_counts_documents,
@@ -723,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_filter_orders": SQL_RESUME_FILTER_ORDERS,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "ngram_jaccard_documents": SQL_NGRAM_JACCARD_DOCUMENTS,
+        "hamming_pairs_documents": SQL_HAMMING_PAIRS_DOCUMENTS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "cosine_topk_embeddings": SQL_COSINE_TOPK_EMBEDDINGS,
         "langid_documents": SQL_LANGID_DOCUMENTS,

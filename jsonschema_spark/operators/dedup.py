@@ -59,19 +59,25 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     )
 
 
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Doc pairs with n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
 
-    Inverted-index join on shingles (never a cross join). For web-scale
-    corpora pass ``max_shingle_freq`` to drop degenerate shingles shared by
-    too many docs — they blow up the join and carry no discriminative signal.
+    Inverted-index join on shingles (never a cross join). Shingles shared by
+    more than ``max_shingle_freq`` docs are dropped BEFORE the join (ON BY
+    DEFAULT): a single stop-shingle shared by 10^6 docs makes a 10^12-pair
+    bucket — quadratic in exactly the hot keys that carry no discriminative
+    signal. The cut biases Jaccard slightly low for affected pairs; pass
+    ``None`` for exact semantics on bounded corpora.
     """
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
@@ -105,11 +111,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature per doc. Each hash h_k is
     min over shingles of xxhash64(shingle, k); all ``num_hashes`` minima are
-    computed in ONE aggregation over the exploded shingle table."""
+    computed in ONE aggregation over the exploded shingle table. Hot
+    shingles above ``max_shingle_freq`` are cut (same default + rationale
+    as ngram_jaccard_pairs — they dominate every doc's minima while
+    carrying no discriminative signal)."""
     sh = shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.where(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
         for k in range(num_hashes)
@@ -125,12 +138,13 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing ANY band
     signature. (id_a, id_b) distinct pairs. bands must divide num_hashes."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, id_col, text_col, n)
+    sig = minhash_signatures(df, num_hashes, id_col, text_col, n, max_shingle_freq)
     band_entries = F.array(
         *[
             F.struct(
@@ -166,12 +180,18 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard on shingles — the scale path:
     candidate generation is linear (banding), exact verify runs only on the
-    candidate set. Returns (id_a, id_b, jaccard)."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands, id_col, text_col, n)
+    candidate set. Returns (id_a, id_b, jaccard). The hot-shingle cut is
+    applied to BOTH the signatures and the verify shingles, so the verified
+    Jaccard is consistent with the candidate space."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands, id_col, text_col, n, max_shingle_freq)
     sh = shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.where(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("id", "id_a")
     b = sh.withColumnRenamed("id", "id_b")
@@ -216,16 +236,20 @@ def simhash_signatures(
     return agg.select("id", sim.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+def hamming_near_duplicates(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    sig_col: str = "simhash",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by the
-    block-rotation trick: split 64 bits into (max_hamming+1) blocks; any pair
-    within distance d shares ≥1 exact block (pigeonhole) — so candidates come
-    from equi-joins on block values, never a cross join."""
+    """Pairs of rows in ``sig`` (columns: id, <sig_col>:long) whose 64-bit
+    signatures are within ``max_hamming``, via the block-rotation trick:
+    split 64 bits into (max_hamming+1) blocks; any pair within distance d
+    shares ≥1 exact block (pigeonhole, EXHAUSTIVE — equals brute force) —
+    so candidates come from equi-joins on block values, never a cross join.
+    Returns (id_a, id_b, hamming)."""
     blocks = max_hamming + 1
     width = 64 // blocks
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = sig.select("id", F.col(sig_col).alias("simhash"))
     entries = F.array(
         *[
             F.struct(
@@ -262,28 +286,83 @@ def simhash_near_duplicates(
     )
 
 
+def simhash_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(SimHash) ≤ max_hamming — SimHash
+    signatures fed through the exhaustive block-rotation pair search."""
+    return hamming_near_duplicates(
+        simhash_signatures(df, id_col, text_col), max_hamming, "simhash"
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    planes: int = 8,
+    tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a, id_b, cos). Brute-force O(n²)
-    correctness baseline — the scale path buckets by LSH first (see
-    similarity.cosine_lsh_buckets)."""
-    from .similarity import _norm, _dot
+    """Embedding-cosine near-dup pairs (id_a, id_b, cos).
+
+    ``method="lsh"`` (the wired default — the scale path): candidates come
+    from an equi-join on random-hyperplane LSH buckets across ``tables``
+    hash tables, then exact cosine verifies each candidate. Linear shuffle
+    in corpus size — no all-pairs product ever forms. Recall < 1 in theory;
+    for genuine near-dups (cos ≥ 0.95, small angles) the multi-table miss
+    probability is (1-(1-θ/π)^planes)^tables ≪ 1e-4.
+
+    ``method="exact"``: the brute-force O(n²) theta-join — correctness
+    oracle for tests and small inputs ONLY (10^9 vectors → 10^18 pairs).
+    """
+    from .similarity import _norm, _dot, _hyperplanes, lsh_bucket
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
-    a, b = v.alias("a"), v.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+
+    if method == "exact":
+        a, b = v.alias("a"), v.alias("b")
+        cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cos", cos)
+            .where(F.col("cos") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round("cos", 6).alias("cos"))
+        )
+
+    entries = []
+    for t in range(tables):
+        hp = _hyperplanes(dim, planes, seed + t)
+        entries.append(F.struct(F.lit(t).alias("tbl"),
+                                lsh_bucket(F.col("v"), hp).alias("bkt")))
+    bk = v.select("id", "v", "nrm", F.explode(F.array(*entries)).alias("e")).select(
+        "id", "v", "nrm", "e.tbl", "e.bkt"
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("a.v").alias("va"),
+                F.col("a.nrm").alias("na"),
+                F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"),
+                F.col("b.nrm").alias("nb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cos", cos)
+        cand.withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.round("cos", 6).alias("cos"))
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 
 

@@ -160,14 +160,18 @@ def ivf_assign(
 
 def train_centroids(
     corpus: DataFrame, c: int = 16, iters: int = 5, vec_col: str = "embedding",
-    dim: int = 64, seed: int = 42,
+    dim: int = 64, seed: int = 42, id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Mini k-means on a driver-collected sample (centroid training is
-    sample-based even at scale; only assignment is distributed)."""
+    sample-based even at scale; only assignment is distributed). The sample
+    is the 4096 lowest-id vectors — a bare ``limit`` without an order is
+    partition-layout-dependent, which would make centroids (and thus every
+    IVF result) nondeterministic across runs."""
     import numpy as np
 
     sample = np.array(
-        corpus.select(vec_col).limit(4096).toPandas()[vec_col].tolist(), dtype=np.float64
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(4096)
+        .toPandas()[vec_col].tolist(), dtype=np.float64
     )
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(c, len(sample)), replace=False)]
