@@ -2,7 +2,7 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (29 queries, 25 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (35 queries, 28 oracles).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
@@ -505,6 +505,13 @@ WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
 """
 
 
+SQL_KEEP_CANONICAL_DOCUMENTS = f"""
+WITH pairs AS ({SQL_NGRAM_JACCARD_DOCUMENTS})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+
 def q_minhash_candidates_documents(spark: SparkSession, sf: str) -> DataFrame:
     # xxhash64-based — no DuckDB twin; driver records rows-only (weaker) check
     return dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), num_hashes=64, bands=16)
@@ -543,6 +550,15 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.98
 """
+
+
+def q_keep_canonical_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """keep_canonical (canonical keep-first dedup policy): drop the higher-id
+    member of every near-dup pair found by the n-gram Jaccard operator.
+    Fully SQL-expressible -> oracle-backed."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1, n=3)
+    return dedup.keep_canonical(docs.select("doc_id"), pairs).select("doc_id")
 
 
 def q_minhash_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -799,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_documents": q_simhash_documents,
+        "keep_canonical_documents": q_keep_canonical_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_near_dups_documents": q_simhash_near_dups_documents,
         "hamming_pairs_documents": q_hamming_pairs_documents,
@@ -836,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_filter_orders": SQL_RESUME_FILTER_ORDERS,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "ngram_jaccard_documents": SQL_NGRAM_JACCARD_DOCUMENTS,
+        "keep_canonical_documents": SQL_KEEP_CANONICAL_DOCUMENTS,
         "hamming_pairs_documents": SQL_HAMMING_PAIRS_DOCUMENTS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "cosine_topk_embeddings": SQL_COSINE_TOPK_EMBEDDINGS,

@@ -36,7 +36,10 @@ HEADLINE = [
     "topk_violations_orders",
     "dedup_exact_documents",
     "minhash_candidates_documents",
+    "minhash_dedup_documents",
     "simhash_documents",
+    "hamming_pairs_documents",
+    "embedding_near_dups",
     "cosine_topk_embeddings",
     "quality_documents",
     "fingerprints_documents",
@@ -106,6 +109,21 @@ def main() -> None:
         list(ex.map(sink, outs))
     suite_sec = round(time.time() - t0, 3)
     timings["images_full_suite"] = suite_sec
+    res.cleanup()
+
+    # B28 fidelity throughput: decoded-pixel PSNR over a WITH-BYTES fixture
+    # table (bounded size — the binary column dominates storage; the pass is
+    # sampled at north scale, full-scan here for a stable number).
+    from jsonschema_spark.passes.fidelity import fidelity_violations
+
+    n_fid = int(os.environ.get("SPARK_GRAFT_BENCH_FIDELITY_IMAGES", "200000"))
+    fcfg = FX.FixtureConfig(n=n_fid, n_parts=64, with_bytes=True)
+    fid_dir = os.path.join(BENCH_DATA, f"images_bytes_{n_fid}")
+    if not os.path.exists(os.path.join(fid_dir, "_SUCCESS")):
+        FX.generate_images_df(spark, fcfg).write.mode("overwrite").parquet(fid_dir)
+    t0 = time.time()
+    sink(fidelity_violations(spark.read.parquet(fid_dir), fcfg, fraction=1.0))
+    timings["fidelity_images_bytes"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -394,7 +394,17 @@ class CompiledTableSpec:
 
     def violations_array(self) -> Column:
         """array<struct<keyword,path,value>> of this row's violations —
-        ONE projection, zero per-row Python (SURVEY.md B5)."""
+        ONE projection, zero per-row Python (SURVEY.md B5).
+
+        Allocation discipline (the 32-core GC lever, round 2): the naive
+        form allocates |checks| structs + an array PER ROW even when every
+        check passes — at 32 tasks that allocation rate drowns the collector
+        (measured 60–90% GC time in the cache-build stage). Rows that pass
+        every check instead short-circuit to a single shared empty-array
+        literal: the common path evaluates only a boolean AND chain."""
+        empty = F.array().cast(T.ArrayType(VIOLATION_STRUCT))
+        if not self.checks:
+            return empty
         structs = [
             F.when(
                 ~F.coalesce(c.ok, F.lit(False)),
@@ -406,10 +416,8 @@ class CompiledTableSpec:
             )
             for c in self.checks
         ]
-        if not structs:
-            return F.array().cast(T.ArrayType(VIOLATION_STRUCT))
-        arr = F.array(*structs)
-        return F.filter(arr, lambda x: x.isNotNull())
+        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        return F.when(self.row_valid(), empty).otherwise(arr)
 
     def row_valid(self) -> Column:
         if not self.checks:

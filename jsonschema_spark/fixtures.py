@@ -68,6 +68,20 @@ def phash64(px: np.ndarray) -> int:
     return int(np.int64(np.uint64(val)))
 
 
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """Vectorized phash64 over a (n, h, w, 3) stack of SAME-SHAPE images —
+    bit-identical to phash64 per image, one numpy pass per batch group."""
+    gray = stack.mean(axis=3)                       # (n, h, w)
+    n, h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    grid = gray[:, ys][:, :, xs].reshape(n, 64)      # (n, 64), C order = phash64's flatten
+    bits = grid > grid.mean(axis=1, keepdims=True)
+    shifts = np.uint64(63) - np.arange(64, dtype=np.uint64)
+    vals = (bits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    return vals.view(np.int64)
+
+
 def caption_for(i: int, doubled: bool = False) -> str:
     n_words = 3 + _mix(i, 1) % 38              # 3–40 words (FIXTURES.md §1)
     if doubled:

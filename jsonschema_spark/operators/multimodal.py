@@ -52,12 +52,67 @@ def image_features(
     h_col: str = "h",
     fake_exotic: bool = False,
 ) -> DataFrame:
-    """Decode + per-channel feature extraction (mean RGB, gray stddev)."""
+    """Decode + per-channel feature extraction (mean RGB, gray stddev).
+
+    The ``raw`` rows of each Arrow batch are processed as ONE numpy pass
+    (concatenated payload buffer + ``np.add.reduceat`` over per-row
+    offsets) — no per-row Python on that path. png/bmp rows go through the
+    per-row pure-Python codec loop, which is irreducible here (no
+    vectorized decoder exists in this environment)."""
+
+    def _raw_features(ids, fmts, payloads, ws, hs, rows):
+        """Vectorized feature extraction for fixed-layout RGB payloads."""
+        sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+        expect = ws.astype(np.int64) * hs.astype(np.int64) * 3
+        good = (sizes == expect) & (expect > 0)
+        if good.any():
+            flat = np.frombuffer(
+                b"".join(p for p, g in zip(payloads, good) if g), dtype=np.uint8
+            ).astype(np.float64)
+            seg = expect[good]
+            npx = (seg // 3).astype(np.float64)
+            gstarts = np.concatenate(([0], np.cumsum(seg // 3)[:-1]))
+            # channel sums: RGB interleaved stride-3 — reduceat per channel
+            csum = [np.add.reduceat(flat[c::3], gstarts) for c in range(3)]
+            gray = (flat[0::3] + flat[1::3] + flat[2::3]) / 3.0
+            gsum = np.add.reduceat(gray, gstarts)
+            gsq = np.add.reduceat(gray * gray, gstarts)
+            gmean = gsum / npx
+            gstd = np.sqrt(np.maximum(gsq / npx - gmean * gmean, 0.0))
+            k = 0
+            for j, g in enumerate(good):
+                if not g:
+                    continue
+                rows.append((ids[j], fmts[j], int(ws[j]), int(hs[j]),
+                             float(csum[0][k] / npx[k]), float(csum[1][k] / npx[k]),
+                             float(csum[2][k] / npx[k]), float(gstd[k]), True, None))
+                k += 1
+        for j, g in enumerate(good):
+            if not g:
+                err = ("empty image" if expect[j] == 0
+                       else f"payload size {sizes[j]} != {expect[j]}")
+                rows.append((ids[j], fmts[j], int(ws[j]), int(hs[j]),
+                             None, None, None, None, False, err))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for r in b.itertuples(index=False):
+            fmt_v = b[fmt_col].to_numpy()
+            vectorizable = (fmt_v == "raw") | (fake_exotic & ~np.isin(fmt_v, list(NATIVE_FMTS)))
+            vec = b[vectorizable]
+            if len(vec):
+                payloads = [bytes(x) for x in vec[bytes_col]]
+                ws, hs = vec[w_col].to_numpy(), vec[h_col].to_numpy()
+                if fake_exotic:
+                    # fake-exotic payloads resize to w*h*3 deterministically
+                    payloads = [
+                        p if len(p) == w * h * 3 else bytes(np.resize(
+                            np.frombuffer(p[: w * h * 3], dtype=np.uint8), w * h * 3))
+                        for p, w, h in zip(payloads, ws.astype(int), hs.astype(int))
+                    ]
+                _raw_features(vec[id_col].to_list(), vec[fmt_col].to_list(),
+                              payloads, ws, hs, rows)
+            for r in b[~vectorizable].itertuples(index=False):
                 rid, fmt = getattr(r, id_col), getattr(r, fmt_col)
                 w, h = int(getattr(r, w_col)), int(getattr(r, h_col))
                 try:
@@ -122,21 +177,31 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
-            for r in b.itertuples(index=False):
-                if container != "rawvideo":
-                    raise NotImplementedError(
-                        f"container {container!r} demux requires an external "
-                        "library (e.g. PyAV); only 'rawvideo' is native here"
-                    )
-                payload = bytes(getattr(r, bytes_col))
-                w, h = int(getattr(r, w_col)), int(getattr(r, h_col))
-                n = int(getattr(r, n_frames_col))
-                fsz = w * h * 3
-                for idx in range(0, n, every_k):
-                    rows.append((getattr(r, id_col), idx,
-                                 payload[idx * fsz:(idx + 1) * fsz]))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "bytes"])
+            if container != "rawvideo":
+                raise NotImplementedError(
+                    f"container {container!r} demux requires an external "
+                    "library (e.g. PyAV); only 'rawvideo' is native here"
+                )
+            # vectorized demux plan: per-batch numpy computes every
+            # (row, frame_idx, byte offset) triple — no per-row Python loop
+            ns = b[n_frames_col].to_numpy(dtype=np.int64)
+            fsz = b[w_col].to_numpy(dtype=np.int64) * b[h_col].to_numpy(dtype=np.int64) * 3
+            per_row = (ns + every_k - 1) // every_k          # frames sampled per row
+            row_of = np.repeat(np.arange(len(b)), per_row)    # output row -> input row
+            # frame index within each row: global arange minus each row's base
+            base = np.repeat(np.concatenate(([0], np.cumsum(per_row)[:-1])), per_row)
+            fidx = (np.arange(row_of.size) - base) * every_k
+            starts = fidx * fsz[row_of]
+            ids = b[id_col].to_numpy()
+            payloads = b[bytes_col].to_list()
+            frames = [
+                bytes(payloads[r][s:s + z])
+                for r, s, z in zip(row_of, starts, fsz[row_of])
+            ]
+            yield pd.DataFrame({
+                "media_id": ids[row_of], "frame_idx": fidx.astype("int32"),
+                "bytes": frames,
+            })
 
     return df.select(id_col, bytes_col, w_col, h_col, n_frames_col).mapInPandas(
         run, schema=FRAME_SCHEMA)

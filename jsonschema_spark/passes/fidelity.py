@@ -33,11 +33,30 @@ FIDELITY_SCHEMA = (
 
 
 def phash_pandas(bytes_s: pd.Series, fmt_s: pd.Series, w_s: pd.Series, h_s: pd.Series) -> pd.Series:
-    """Recompute the 64-bit perceptual hash from encoded bytes (B27)."""
+    """Recompute the 64-bit perceptual hash from encoded bytes (B27).
+
+    raw-format rows need no codec loop: within each Arrow batch they are
+    grouped by (w, h), stacked, and hashed by the vectorized phash64_batch
+    (bit-identical to the scalar path). png/bmp rows go through the pure-
+    Python codec per row — irreducible without an external decoder."""
     out = np.zeros(len(bytes_s), dtype=np.int64)
-    for k, (b, fmt, w, h) in enumerate(zip(bytes_s, fmt_s, w_s, h_s)):
+    fmt_v = fmt_s.to_numpy()
+    w_v, h_v = w_s.to_numpy(dtype=np.int64), h_s.to_numpy(dtype=np.int64)
+    is_raw = ~np.isin(fmt_v, ["png", "bmp"])
+    if is_raw.any():
+        idx = np.flatnonzero(is_raw)
+        sizes = w_v[idx] * h_v[idx] * 3
+        ok = np.array([len(bytes_s.iat[j]) == s and s > 0 for j, s in zip(idx, sizes)])
+        for w, h in {(int(w_v[j]), int(h_v[j])) for j in idx[ok]}:
+            grp = idx[ok][(w_v[idx[ok]] == w) & (h_v[idx[ok]] == h)]
+            stack = np.stack([
+                np.frombuffer(bytes(bytes_s.iat[j]), dtype=np.uint8).reshape(h, w, 3)
+                for j in grp
+            ])
+            out[grp] = FX.phash64_batch(stack)
+    for k in np.flatnonzero(~is_raw):
         try:
-            px = codecs.decode(bytes(b), fmt, int(w), int(h))
+            px = codecs.decode(bytes(bytes_s.iat[k]), fmt_v[k], int(w_v[k]), int(h_v[k]))
             out[k] = FX.phash64(px)
         except Exception:
             out[k] = 0

@@ -96,8 +96,13 @@ def column_stats(
         aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
         aggs.append(F.approx_count_distinct(col).alias(f"{c}__dist"))
         if with_sketches:
-            # hll_sketch_agg rejects some types (e.g. double, binary) — cast to string
-            aggs.append(F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"))
+            # hll_sketch_agg natively supports int/long/string/binary — pass
+            # those through unchanged (a cast("string") on an int column
+            # allocates a UTF8String per CELL: measured GC churn at 32
+            # cores); only unsupported types (double, date, ...) cast.
+            dt = df.schema[c].dataType.typeName()
+            sk = col if dt in ("integer", "long", "string") else col.cast("string")
+            aggs.append(F.hll_sketch_agg(sk).alias(f"{c}__hll"))
 
     wide = df.select(part_col, *columns).groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
 

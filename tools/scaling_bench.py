@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--warmups", type=int, default=1)
     ap.add_argument("--n-images", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000")))
@@ -42,19 +42,31 @@ def main() -> None:
     from jsonschema_spark.passes.drift import baseline_profile
     from pyspark.sql import SparkSession
 
-    # Local-mode measurement hygiene: shuffle scratch on tmpfs (a real
-    # cluster's shuffle I/O scales with node count — one shared disk in
-    # local mode would charge a non-scaling cost to both levels), and the
-    # throughput-oriented parallel GC for a 32-thread single JVM.
+    # Local-mode measurement hygiene:
+    # - shuffle scratch on tmpfs (a real cluster's shuffle I/O scales with
+    #   node count — one shared disk would charge a non-scaling cost).
+    # - HONEST core accounting: `local[N]` only caps TASK slots at N; GC
+    #   (ParallelGC sizes its thread pool from the HOST's 32 CPUs), netty,
+    #   compression and shuffle threads would still use every host core,
+    #   letting the "8-core" level borrow ~4 extra cores a real 8-core
+    #   executor node does not have (measured: the local[8] JVM ran at
+    #   ~1100% CPU). -XX:ActiveProcessorCount pins the JVM's view of the
+    #   machine; tools/run_scaling.py additionally taskset-binds the
+    #   process to exactly N hardware threads.
     b = (SparkSession.builder.appName("scaling-bench")
          .master(f"local[{args.cores}]")
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
          .config("spark.local.dir", "/dev/shm/spark-scratch")
-         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+         .config("spark.driver.extraJavaOptions",
+                 f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cores}")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false"))
     for k, v in recommended_conf(args.cores).items():
         b = b.config(k, v)
+    # 32 MB input splits: the 2.5 GB input would otherwise make a single
+    # 32-task wave at local[32], where one GC pause / steal hiccup extends
+    # the whole stage; ~80 splits give straggler slack at both levels.
+    b = b.config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -74,12 +86,19 @@ def main() -> None:
     baseline = spark.read.parquet(base_dir)
     dims = {"dim_fmt": FX.dim_fmt_df(spark), "dim_license": FX.dim_license_df(spark, cfg)}
 
+    scratch = "/dev/shm/spark-scratch/fuse-base"
+
     def one_run() -> float:
         from concurrent.futures import ThreadPoolExecutor
+        import shutil
 
+        shutil.rmtree(scratch, ignore_errors=True)
         t0 = time.time()
+        # fuse_scratch: the fused projection materializes as a parquet
+        # scratch table (one clean write job, vectorized re-reads) instead
+        # of the SQL columnar cache — measured GC relief at 32 local cores.
         res = validate_table(fact, FX.SPEC_IMAGES, dims=dims, baseline=baseline,
-                             drift_columns=FX.drift_columns())
+                             drift_columns=FX.drift_columns(), fuse_scratch=scratch)
         # the three outputs are independent DAGs — submit concurrently so
         # stage gaps of one job are filled by tasks of another (same as
         # job.py's sink writes)
@@ -89,6 +108,7 @@ def main() -> None:
                 (res.violations, res.verdicts, res.stats),
             ))
         # release the per-run caches so runs are independent
+        res.cleanup()
         spark.catalog.clearCache()
         return time.time() - t0
 
@@ -96,12 +116,36 @@ def main() -> None:
         one_run()
     runs = [round(one_run(), 2) for _ in range(args.runs)]
     med = statistics.median(runs)
+
+    # Platform calibration: a trivially-parallel scan+hash over the SAME
+    # parquet input (zero shuffle, zero engine code). Its 8->32 speedup IS
+    # this host's achievable ceiling for scan-shaped Spark work — a single
+    # box does not add DRAM channels with cores the way a 4N-executor
+    # cluster does. Suite efficiency is reported raw AND normalized to this
+    # ceiling (each run hashes with a distinct seed to defeat plan reuse).
+    from pyspark.sql import functions as F
+
+    def calib(seed: int) -> float:
+        cols = [F.xxhash64(c, F.lit(seed)) for c in fact.columns]
+        q = fact.select(F.xxhash64(*cols).alias("h")).agg(F.max("h"), F.count(F.lit(1)))
+        t0 = time.time()
+        q.collect()
+        return time.time() - t0
+
+    calib(999)  # warm-up
+    calib_runs = [round(calib(i), 2) for i in range(args.runs)]
+
     print(json.dumps({
         "cores": args.cores,
         "n_images": n,
         "runs": runs,
         "median_sec": med,
+        "min_sec": min(runs),
         "images_per_sec": round(n / med, 1),
+        "images_per_sec_best": round(n / min(runs), 1),
+        "calib_runs": calib_runs,
+        "calib_median_sec": statistics.median(calib_runs),
+        "calib_min_sec": min(calib_runs),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }))
     spark.stop()
