@@ -45,7 +45,11 @@ HEADLINE = [
     "fingerprints_documents",
 ]
 
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000"))
+# 8M-image flagship (round 2): at 2M the four-pass suite is dominated by
+# fixed stage-scheduling latency (~15 s of its ~30 s wall) and the
+# throughput number understates the engine by ~4x; 8M is compute-dominated
+# while still generating in minutes on first run (cached thereafter).
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "8000000"))
 # Generated once, reused across bench runs. Parquet (not a cached DataFrame)
 # so every pass exercises the production path: vectorized columnar scan with
 # column pruning — the same shape as the Iceberg table at north scale.
