@@ -9,8 +9,9 @@ Part A, plus the draft-06 conveniences ``const`` / ``contains`` and the
 engine's table-level extension block ``x-table-checks`` (uniqueness /
 referential / drift — SURVEY.md §2 Part B, BASELINE.json north_rule).
 
-``$ref`` / ``definitions`` are resolved at parse time by inlining with a
-recursion-depth cap (SURVEY.md §2 A22): the data plane never sees a ref.
+``$ref`` / ``definitions`` are resolved at parse time by inlining (SURVEY.md
+§2 A22): the data plane never sees a ref. Cyclic refs finitely unroll
+(``RECURSIVE_UNROLL``); non-cyclic chains are capped at ``MAX_REF_DEPTH``.
 """
 
 from __future__ import annotations
@@ -25,7 +26,15 @@ METADATA_KEYWORDS = {"title", "description", "default", "id", "$schema", "x-tabl
 # JSON type names (draft-04 §3.5; draft-03 §5.1 adds "any").
 JSON_TYPES = {"object", "array", "string", "number", "integer", "boolean", "null", "any"}
 
-MAX_REF_DEPTH = 32
+MAX_REF_DEPTH = 128
+
+# Cyclic $refs (e.g. a linked-list/tree schema referencing itself) are
+# finitely UNROLLED this many times; beyond that the cycle truncates to the
+# permissive empty schema. Documents nested deeper than the unroll limit are
+# accepted permissively past that depth (complete, not sound, below the cut
+# — documented delta; erroring out on valid recursive schemas would be
+# worse). Non-cyclic ref chains keep the hard MAX_REF_DEPTH error.
+RECURSIVE_UNROLL = 8
 
 
 class SpecError(ValueError):
@@ -138,7 +147,7 @@ def parse(schema: dict[str, Any] | bool) -> Spec:
         schema = {"not": {}}
     if not isinstance(schema, dict):
         raise SpecError(f"schema must be an object, got {type(schema).__name__}")
-    root = _parse_node(schema, schema, depth=0)
+    root = _parse_node(schema, schema, depth=0, ref_stack=())
     tc = schema.get("x-table-checks", {}) or {}
     table_checks = TableChecks(
         unique=tuple(tuple(k) for k in tc.get("unique", [])),
@@ -154,32 +163,40 @@ def parse_node(schema: dict[str, Any] | bool) -> SpecNode:
         return SpecNode()
     if schema is False:
         return SpecNode(not_=SpecNode())
-    return _parse_node(schema, schema, depth=0)
+    return _parse_node(schema, schema, depth=0, ref_stack=())
 
 
-def _sub(v: Any, root: dict, depth: int) -> SpecNode:
+def _sub(v: Any, root: dict, depth: int, ref_stack: tuple[str, ...] = ()) -> SpecNode:
     if v is True:
         return SpecNode()
     if v is False:
         return SpecNode(not_=SpecNode())
     if not isinstance(v, dict):
         raise SpecError(f"subschema must be an object/bool, got {v!r}")
-    return _parse_node(v, root, depth)
+    return _parse_node(v, root, depth, ref_stack)
 
 
-def _parse_node(s: dict[str, Any], root: dict[str, Any], depth: int) -> SpecNode:
+def _parse_node(
+    s: dict[str, Any], root: dict[str, Any], depth: int,
+    ref_stack: tuple[str, ...] = (),
+) -> SpecNode:
     if depth > MAX_REF_DEPTH:
         raise SpecError(f"$ref nesting exceeds depth cap {MAX_REF_DEPTH}")
 
     # --- $ref: inline the target, merging sibling keywords (d4: siblings
     # ignored, but merging is a strict superset and harmless for our corpus).
+    # Cyclic refs unroll RECURSIVE_UNROLL times, then truncate permissively
+    # (A22 — a recursive schema must parse, not error; see RECURSIVE_UNROLL).
     if "$ref" in s:
-        target = _resolve_pointer(root, s["$ref"])
+        ptr = s["$ref"]
+        if ref_stack.count(ptr) >= RECURSIVE_UNROLL:
+            return SpecNode()
+        target = _resolve_pointer(root, ptr)
         merged = {k: v for k, v in s.items() if k != "$ref"}
         if isinstance(target, dict):
             for k, v in target.items():
                 merged.setdefault(k, v)
-        return _parse_node(merged, root, depth + 1)
+        return _parse_node(merged, root, depth + 1, ref_stack + (ptr,))
 
     kw: dict[str, Any] = {}
     meta = {k: s[k] for k in METADATA_KEYWORDS & s.keys() if k != "x-table-checks"}
@@ -195,7 +212,7 @@ def _parse_node(s: dict[str, Any], root: dict[str, Any], depth: int) -> SpecNode
                 if isinstance(x, str):
                     alts.append(SpecNode(type=_as_tuple_of_types(x)))
                 else:
-                    alts.append(_sub(x, root, depth + 1))
+                    alts.append(_sub(x, root, depth + 1, ref_stack))
             kw["any_of"] = tuple(alts) + (kw.get("any_of") or ())
         else:
             kw["type"] = _as_tuple_of_types(tv)
@@ -236,12 +253,12 @@ def _parse_node(s: dict[str, Any], root: dict[str, Any], depth: int) -> SpecNode
     if "items" in s:
         it = s["items"]
         if isinstance(it, list):
-            kw["tuple_items"] = tuple(_sub(x, root, depth + 1) for x in it)
+            kw["tuple_items"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in it)
         else:
-            kw["items"] = _sub(it, root, depth + 1)
+            kw["items"] = _sub(it, root, depth + 1, ref_stack)
     if "additionalItems" in s:
         ai = s["additionalItems"]
-        kw["additional_items"] = ai if isinstance(ai, bool) else _sub(ai, root, depth + 1)
+        kw["additional_items"] = ai if isinstance(ai, bool) else _sub(ai, root, depth + 1, ref_stack)
     if "minItems" in s:
         kw["min_items"] = int(s["minItems"])
     if "maxItems" in s:
@@ -249,7 +266,7 @@ def _parse_node(s: dict[str, Any], root: dict[str, Any], depth: int) -> SpecNode
     if "uniqueItems" in s:
         kw["unique_items"] = bool(s["uniqueItems"])
     if "contains" in s:
-        kw["contains"] = _sub(s["contains"], root, depth + 1)
+        kw["contains"] = _sub(s["contains"], root, depth + 1, ref_stack)
     if "required" in s:
         rq = s["required"]
         if isinstance(rq, bool):           # draft-3 boolean-on-property form
@@ -257,14 +274,14 @@ def _parse_node(s: dict[str, Any], root: dict[str, Any], depth: int) -> SpecNode
         else:
             kw["required"] = tuple(rq)
     if "properties" in s:
-        kw["properties"] = {k: _sub(v, root, depth + 1) for k, v in s["properties"].items()}
+        kw["properties"] = {k: _sub(v, root, depth + 1, ref_stack) for k, v in s["properties"].items()}
     if "patternProperties" in s:
         for p in s["patternProperties"]:
             re.compile(p)
-        kw["pattern_properties"] = {k: _sub(v, root, depth + 1) for k, v in s["patternProperties"].items()}
+        kw["pattern_properties"] = {k: _sub(v, root, depth + 1, ref_stack) for k, v in s["patternProperties"].items()}
     if "additionalProperties" in s:
         ap = s["additionalProperties"]
-        kw["additional_properties"] = ap if isinstance(ap, bool) else _sub(ap, root, depth + 1)
+        kw["additional_properties"] = ap if isinstance(ap, bool) else _sub(ap, root, depth + 1, ref_stack)
     if "minProperties" in s:
         kw["min_properties"] = int(s["minProperties"])
     if "maxProperties" in s:
@@ -277,25 +294,25 @@ def _parse_node(s: dict[str, Any], root: dict[str, Any], depth: int) -> SpecNode
             elif isinstance(d, list):
                 deps[name] = tuple(d)
             else:
-                deps[name] = _sub(d, root, depth + 1)
+                deps[name] = _sub(d, root, depth + 1, ref_stack)
         kw["dependencies"] = deps
     if "allOf" in s or "extends" in s:     # d3 extends ≙ allOf (A18)
         ext = s.get("allOf", s.get("extends"))
         if isinstance(ext, dict):
             ext = [ext]
-        kw["all_of"] = tuple(_sub(x, root, depth + 1) for x in ext)
+        kw["all_of"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in ext)
     if "anyOf" in s:
-        kw["any_of"] = tuple(_sub(x, root, depth + 1) for x in s["anyOf"]) + (kw.get("any_of") or ())
+        kw["any_of"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in s["anyOf"]) + (kw.get("any_of") or ())
     if "oneOf" in s:
-        kw["one_of"] = tuple(_sub(x, root, depth + 1) for x in s["oneOf"])
+        kw["one_of"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in s["oneOf"])
     if "not" in s:
-        kw["not_"] = _sub(s["not"], root, depth + 1)
+        kw["not_"] = _sub(s["not"], root, depth + 1, ref_stack)
     if "disallow" in s:                    # d3 §5.25: type name | schema | list
         dv = s["disallow"]
         if not isinstance(dv, list):
             dv = [dv]
         kw["disallow"] = tuple(
-            x if isinstance(x, str) else _sub(x, root, depth + 1) for x in dv
+            x if isinstance(x, str) else _sub(x, root, depth + 1, ref_stack) for x in dv
         )
     if "format" in s:
         kw["format"] = s["format"]

@@ -58,10 +58,21 @@ def test_violation_paths_point_into_instance():
     assert len(viols) == 3
 
 
-def test_recursive_ref_depth_cap():
-    from jsonschema_spark.spec import SpecError
+def test_recursive_ref_unrolls_permissively():
+    """Round 2 (A22): a degenerate self-ref loop no longer errors — cyclic
+    refs unroll RECURSIVE_UNROLL times then truncate to the permissive
+    empty schema (a pure loop imposes no constraint at all). Non-cyclic
+    over-deep nesting keeps the hard depth error."""
+    from jsonschema_spark.spec import SpecError, parse
 
     schema = {"definitions": {"loop": {"$ref": "#/definitions/loop"}},
               "$ref": "#/definitions/loop"}
+    assert validate(1, schema) == []
+
+    deep = {"type": "object"}
+    cur = deep
+    for _ in range(200):  # 200 non-ref nesting levels > MAX_REF_DEPTH
+        cur["properties"] = {"x": {"type": "object"}}
+        cur = cur["properties"]["x"]
     with pytest.raises(SpecError):
-        validate(1, schema)
+        parse(deep)

@@ -277,6 +277,45 @@ def test_non_object_payloads(spark):
     assert got_obj == {(1, "type"), (2, "type"), (3, "type"), (5, "type")}
 
 
+# ---------------------------------------------------- recursive $ref schemas
+
+LINKED_LIST = {
+    "definitions": {"node": {
+        "type": "object",
+        "properties": {"v": {"type": "integer", "minimum": 0},
+                       "next": {"$ref": "#/definitions/node"}},
+        "required": ["v"],
+    }},
+    "$ref": "#/definitions/node",
+}
+
+
+def test_recursive_ref_unrolls_instead_of_erroring():
+    """A22 delta closed: cyclic $refs parse (bounded unroll) and validate
+    exactly to RECURSIVE_UNROLL levels; deeper tails accept permissively."""
+    from jsonschema_spark.local import validate
+    from jsonschema_spark.spec import parse, RECURSIVE_UNROLL
+
+    parse(LINKED_LIST)  # must not raise
+
+    def chain(n, bad_at=None):
+        doc = cur = {"v": 0}
+        for i in range(1, n):
+            cur["next"] = {"v": -1 if i == bad_at else i}
+            cur = cur["next"]
+        return doc
+
+    assert validate(chain(5), LINKED_LIST) == []
+    viols = validate(chain(5, bad_at=3), LINKED_LIST)
+    assert [v.keyword for v in viols] == ["minimum"]
+    # violation deeper than the unroll limit is permissively accepted
+    deep = chain(RECURSIVE_UNROLL + 5, bad_at=RECURSIVE_UNROLL + 3)
+    assert validate(deep, LINKED_LIST) == []
+    # ...but violations above the cut are still caught in deep documents
+    deep2 = chain(RECURSIVE_UNROLL + 5, bad_at=2)
+    assert [v.keyword for v in validate(deep2, LINKED_LIST)] == ["minimum"]
+
+
 # ------------------------------------------- vectorized batch-path equivalence
 
 def test_phash64_batch_matches_scalar():
