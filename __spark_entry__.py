@@ -392,8 +392,10 @@ SELECT event_id, 'maximum', '/k', CAST(kv AS VARCHAR)
 FROM k WHERE kv IS NOT NULL AND kv > 80
 UNION ALL
 SELECT event_id, 'required', '/k', NULL
--- draft-4: `required` applies only to JSON objects (matches engine semantics)
-FROM k WHERE props IS NOT NULL AND json_valid(props) AND trim(props) LIKE '{%' AND kv IS NULL
+-- draft-4: `required` applies only to JSON objects (matches engine semantics;
+-- object-ness = first non-JSON-whitespace char is '{', whitespace = space/tab/CR/LF)
+FROM k WHERE props IS NOT NULL AND json_valid(props)
+  AND regexp_matches(props, '^[ \t\r\n]*\{') AND kv IS NULL
 """
 
 

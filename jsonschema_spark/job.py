@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .engine import get_session, validate_table
+from .io.tables import load_fact_table
 from .manifest import Manifest
 from .spec import parse
 from .passes.drift import DriftColumn
@@ -81,6 +82,10 @@ def parse_drift_columns(spec) -> list[DriftColumn]:
 def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True)
+    ap.add_argument("--table-format", default=None,
+                    help="fact-table format (parquet default; 'iceberg' on a "
+                         "cluster with the runtime jar — io/tables.py is the "
+                         "only code that sees this)")
     ap.add_argument("--spec", required=True)
     ap.add_argument("--manifest", required=True)
     ap.add_argument("--out", required=True)
@@ -112,7 +117,10 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     with open(args.spec) as f:
         spec = parse(json.load(f))
 
-    fact_full = spark.read.parquet(args.table)
+    # The ONE fact-table read in the operational path — io/tables.py is the
+    # format swap point (parquet here, `--table-format iceberg` or
+    # SPARK_GRAFT_TABLE_FORMAT=iceberg on a real cluster).
+    fact_full = load_fact_table(spark, args.table, fmt=args.table_format)
     fact = fact_full
     man = Manifest(spark, args.manifest)
     if args.resume:
@@ -210,15 +218,20 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     # outputs. Row counts come from the stats sink (every column row of a
     # partition carries the same n_rows) — re-scanning the fact table for
     # numbers already on disk would be an entire extra 100 TB read.
+    from pyspark.errors import AnalysisException
+
     try:
         vc = {
             r.part_id: r.n
             for r in spark.read.parquet(args.out + "/violations")
             .groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-    except Exception:
+    except AnalysisException:
         # a fully-clean run writes zero violation rows — the sink then has
-        # no data files and schema inference fails; that IS the happy path
+        # no data files and schema inference raises AnalysisException; that
+        # IS the happy path. Any OTHER failure (corrupted sink, permissions,
+        # transient I/O) must propagate — mapping it to vc={} would make a
+        # hard failure indistinguishable from a clean run.
         vc = {}
     if res.stats is not None:
         rc = {
@@ -240,13 +253,20 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
             for p in pending_parts
         ]
     )
-    n_rows = sum(rc.values())
+    # On resume the sinks (dynamic overwrite) carry EVERY completed
+    # partition's rows, but this run only processed the pending ones —
+    # n_rows/images_per_sec must reflect the work actually done, with the
+    # table-wide totals reported separately.
+    pend = set(pending_parts)
+    n_rows = sum(n for p, n in rc.items() if p in pend)
     elapsed = time.time() - t0
     summary = {
         "status": "ok",
         "n_rows": n_rows,
-        "n_violations": sum(vc.values()),
+        "n_violations": sum(n for p, n in vc.items() if p in pend),
         "n_partitions": len(pending_parts),
+        "table_n_rows": sum(rc.values()),
+        "table_n_violations": sum(vc.values()),
         "wall_sec": round(elapsed, 3),
         "images_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else 0.0,
         "global_distinct": global_distinct,

@@ -18,9 +18,13 @@ top-frequency shingles (stopword-shingle cut) before the join.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_log = logging.getLogger(__name__)
 
 
 def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -62,6 +66,41 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
 DEFAULT_MAX_SHINGLE_FREQ = 1000
 
 
+def _cut_hot_shingles(
+    sh: DataFrame, max_shingle_freq: int | None, lazy: bool = False
+) -> DataFrame:
+    """Drop shingles shared by more than ``max_shingle_freq`` docs (the
+    default-on scale guard: a stop-shingle shared by 10^6 docs makes a
+    10^12-pair join bucket). The cut is results-changing — Jaccard biases
+    slightly low for affected pairs — so it must be VISIBLE, not silent:
+    the hot-shingle set is materialized (it is tiny by construction,
+    ≤ total-occurrences/max_freq keys) and a warning with the cut count is
+    logged whenever the cut actually removed anything. The anti-join
+    against the materialized hot set costs the same shingle-table scans as
+    the previous inline semi-join. ``lazy=True`` skips the eager count
+    (and the warning) for callers that must not trigger a job at
+    plan-construction time."""
+    if max_shingle_freq is None:
+        return sh
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    if lazy:
+        return sh.join(
+            freq.where(F.col("_f") <= max_shingle_freq), "shingle", "left_semi"
+        )
+    hot = freq.where(F.col("_f") > max_shingle_freq).select("shingle").persist()
+    n_hot = hot.count()
+    if n_hot > 0:
+        _log.warning(
+            "hot-shingle cut removed %d shingle(s) above freq %d — Jaccard "
+            "values for pairs sharing them bias low vs exact semantics "
+            "(pass max_shingle_freq=None for exact on bounded corpora)",
+            n_hot, max_shingle_freq,
+        )
+        return sh.join(hot, "shingle", "left_anti")
+    hot.unpersist()
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -79,10 +118,7 @@ def ngram_jaccard_pairs(
     signal. The cut biases Jaccard slightly low for affected pairs; pass
     ``None`` for exact semantics on bounded corpora.
     """
-    sh = shingles(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(freq.where(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
+    sh = _cut_hot_shingles(shingles(df, id_col, text_col, n), max_shingle_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.alias("a")
@@ -119,10 +155,7 @@ def minhash_signatures(
     shingles above ``max_shingle_freq`` are cut (same default + rationale
     as ngram_jaccard_pairs — they dominate every doc's minima while
     carrying no discriminative signal)."""
-    sh = shingles(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(freq.where(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
+    sh = _cut_hot_shingles(shingles(df, id_col, text_col, n), max_shingle_freq)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
         for k in range(num_hashes)
@@ -188,10 +221,7 @@ def minhash_dedup(
     applied to BOTH the signatures and the verify shingles, so the verified
     Jaccard is consistent with the candidate space."""
     cand = minhash_lsh_candidates(df, num_hashes, bands, id_col, text_col, n, max_shingle_freq)
-    sh = shingles(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(freq.where(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
+    sh = _cut_hot_shingles(shingles(df, id_col, text_col, n), max_shingle_freq)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("id", "id_a")
     b = sh.withColumnRenamed("id", "id_b")
@@ -304,7 +334,7 @@ def embedding_near_duplicates(
     method: str = "lsh",
     planes: int = 8,
     tables: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a, id_b, cos).
@@ -312,18 +342,29 @@ def embedding_near_duplicates(
     ``method="lsh"`` (the wired default — the scale path): candidates come
     from an equi-join on random-hyperplane LSH buckets across ``tables``
     hash tables, then exact cosine verifies each candidate. Linear shuffle
-    in corpus size — no all-pairs product ever forms. Recall < 1 in theory;
-    for genuine near-dups (cos ≥ 0.95, small angles) the multi-table miss
-    probability is (1-(1-θ/π)^planes)^tables ≪ 1e-4.
+    in corpus size — no all-pairs product ever forms. Recall < 1 by design:
+    a pair at angle θ collides in one table with prob (1-θ/π)^planes, so the
+    miss probability is (1-(1-θ/π)^planes)^tables — at the default
+    (planes=8, tables=6) that is ≈3.6% for a pair at exactly cos 0.95
+    (θ≈0.318) and ≈1.7e-11 for true perturbed copies (cos ≥ 0.9999).
+    Raise ``tables`` (linear cost) for tighter recall at the threshold.
+
+    ``dim`` defaults to the measured length of the first vector (the
+    hyperplanes must match the embedding dimension: a mismatched literal
+    dim would NULL every dot product and silently collapse all vectors
+    into one bucket — an O(n²) cross join). Pass it explicitly to skip the
+    one-row lookup; a passed value is still validated against the data.
 
     ``method="exact"``: the brute-force O(n²) theta-join — correctness
     oracle for tests and small inputs ONLY (10^9 vectors → 10^18 pairs).
     """
-    from .similarity import _norm, _dot, _hyperplanes, lsh_bucket
+    from .similarity import _norm, _dot, _hyperplanes, lsh_bucket, resolve_dim
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
+    if method != "exact":
+        dim = resolve_dim(df, vec_col, dim)
 
     if method == "exact":
         a, b = v.alias("a"), v.alias("b")

@@ -65,6 +65,27 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((planes, dim)).tolist()
 
 
+def resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Resolve the embedding dimension the LSH hyperplanes must match.
+
+    A wrong literal dim is a SILENT scale-killer: every zip_with dot
+    product against a mismatched hyperplane is NULL, every bucket bit
+    collapses to 0, and the bucket equi-join degenerates into an all-pairs
+    product. So: derive dim from the first row when not given, and fail
+    fast when a passed value contradicts the data (one bounded single-row
+    driver action either way)."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        return dim or 0  # empty input: any plane set yields an empty result
+    measured = int(row["d"])
+    if dim is not None and dim != measured:
+        raise ValueError(
+            f"embedding dim mismatch: caller passed dim={dim} but column "
+            f"{vec_col!r} has {measured}-element vectors"
+        )
+    return measured
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit b = sign(<v, plane_b>) — packed long."""
     bits = None
@@ -88,11 +109,14 @@ def cosine_lsh_topk(
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing an LSH bucket with the
-    query in ANY of ``tables`` hash tables; exact cosine rank on candidates."""
+    query in ANY of ``tables`` hash tables; exact cosine rank on candidates.
+    ``dim`` defaults to the corpus's measured vector length (see
+    resolve_dim — a mismatched literal silently zeroes every bucket)."""
+    dim = resolve_dim(corpus, vec_col, dim)
     c = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
     ).withColumn("cnrm", _norm(F.col("cv")))

@@ -71,9 +71,13 @@ def uniqueness_violations(
 
     path = "/" + ",".join(key_cols)
     # Join duplicate keys back to recover example rows. The dup-key set is
-    # tiny relative to the fact table; let AQE/broadcast pick the join.
+    # USUALLY tiny, but not by contract — a pathological table where half
+    # the keys are duplicated makes it fact-scale, and a forced
+    # F.broadcast would OOM the driver/executors at 10^12 rows. No hint:
+    # AQE sizes the built dup-key shuffle stage at runtime and converts to
+    # broadcast exactly when it actually fits (adaptive join selection).
     joined = df.select(part_col, key_col, *[c for c in key_cols if c != key_col]).join(
-        F.broadcast(dups.select(*key_cols)), on=key_cols, how="left_semi"
+        dups.select(*key_cols), on=key_cols, how="left_semi"
     )
     return joined.select(
         F.col(part_col).alias("part_id"),
