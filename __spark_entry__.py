@@ -2,7 +2,7 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (35 queries, 27 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (37 queries, 31 oracles).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
@@ -566,13 +566,52 @@ def q_keep_canonical_documents(spark: SparkSession, sf: str) -> DataFrame:
 def q_minhash_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Full MinHash dedup (LSH candidates + exact-Jaccard verify) — planted
     exact-dup copies of the 50 lowest-id docs guarantee non-vacuous output.
-    xxhash64-based → rows-only check + pytest equivalence vs brute force."""
+
+    ORACLE-BACKED (round 3): the verify stage emits exact Jaccard, so the
+    output must equal DuckDB's brute-force all-pairs Jaccard >= 0.8 (same
+    hot-shingle cut) — equality holds iff LSH candidate generation missed
+    no qualifying pair. This corpus has 31 genuine non-identical pairs at
+    J in [0.9, 0.99) besides the 50 planted copies; miss probability per
+    J>=0.9 pair at 16 bands x 4 rows is <4e-8, and xxhash64 is
+    deterministic, so the match is stable."""
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     copies = (
         docs.orderBy("doc_id").limit(50)
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
     return dedup.minhash_dedup(docs.unionByName(copies), threshold=0.8)
+
+
+SQL_MINHASH_DEDUP_DOCUMENTS = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50
+  )
+),
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl FROM docs),
+sh0 AS (
+  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+  FROM w, UNNEST(range(1, GREATEST(len(wl) - 1, 1))) AS t(i)
+),
+-- mirror of the engine's default hot-shingle cut (max_shingle_freq=1000)
+sh AS (
+  SELECT * FROM sh0 WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 1000
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+"""
 
 
 def q_simhash_near_dups_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -657,10 +696,94 @@ FROM j QUALIFY rank <= 5
 
 
 def q_lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    # approximate path — recall measured in pytest vs exact; rows-only here
+    # approximate path over ARBITRARY queries — rows-only here; the
+    # oracle-backed recall gate is q_lsh_recall_embeddings below.
+    # 4 planes x 16 tables: random gaussian corpora are LSH's worst case
+    # (neighbors sit at wide angles); measured recall@5 ≈ 0.88 at this
+    # config vs 0.04 at the old 8x4 (which existed only for near-dups).
     emb = _t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return similarity.cosine_lsh_topk(emb, queries, k=5, planes=8, tables=4)
+    return similarity.cosine_lsh_topk(emb, queries, k=5, planes=4, tables=16)
+
+
+def _planted_queries(emb: DataFrame, n: int = 20) -> DataFrame:
+    """Perturbed copies of the n lowest-id vectors (id+100000) — near-dup
+    queries whose exact nearest neighbor is the original by a wide margin
+    (cos ≈ 1 vs ≤ ~0.5 for any other pair on random gaussian data)."""
+    return emb.where(F.col("vec_id") < n).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.999) + F.lit(0.0001)).alias("embedding"),
+    )
+
+
+SQL_EXACT_TOP1_PLANTED = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+  SELECT vec_id + 100000 AS qid, list_transform(v, x -> x * 0.999 + 0.0001) AS qv
+  FROM base WHERE vec_id < 20
+),
+j AS (
+  SELECT q.qid AS query_id, c.vec_id AS nid,
+         list_cosine_similarity(c.v, q.qv) AS cos
+  FROM base c CROSS JOIN q
+)
+SELECT query_id, nid AS {alias}, CAST(1 AS INT) AS recall_at_1
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nid) AS rk FROM j)
+WHERE rk = 1
+"""
+
+
+def q_lsh_recall_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """VERDICT r2 #7 — quantified recall gate for the LSH ANN path, ORACLE-
+    BACKED: 20 planted near-dup queries, LSH top-1 joined against the exact
+    top-1 (both computed in Spark); the DuckDB twin is the exact top-1 with
+    recall 1.0, so the row hashes match iff LSH retrieves the true nearest
+    neighbor for EVERY query (recall@1 = 1.0 — miss probability per planted
+    pair at 8 planes x 4 tables is ~1.5e-6, and seeded planes make the
+    result deterministic)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = _planted_queries(emb)
+    approx = similarity.cosine_lsh_topk(emb, q, k=1, planes=8, tables=4).select(
+        "query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+    exact = similarity.cosine_topk(emb, q, k=1).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor"))
+    return approx.join(exact, "query_id", "full").select(
+        "query_id", "lsh_neighbor",
+        F.coalesce(
+            (F.col("lsh_neighbor") == F.col("exact_neighbor")).cast("int"),
+            F.lit(0),
+        ).alias("recall_at_1"),
+    )
+
+
+SQL_LSH_RECALL_EMBEDDINGS = SQL_EXACT_TOP1_PLANTED.format(alias="lsh_neighbor")
+
+
+def q_ivf_recall_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall gate for the IVF ANN path (same construction as
+    q_lsh_recall_embeddings): IVF top-1 with nprobe=4 of 8 clusters must
+    equal the exact top-1 on every planted near-dup query — the copy's
+    nearest centroid is the original's, so the original's cluster is
+    always probed."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cent = similarity.train_centroids(emb, c=8, iters=5)
+    q = _planted_queries(emb)
+    approx = similarity.ivf_topk(emb, q, cent, k=1, nprobe=4).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    exact = similarity.cosine_topk(emb, q, k=1).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor"))
+    return approx.join(exact, "query_id", "full").select(
+        "query_id", "ivf_neighbor",
+        F.coalesce(
+            (F.col("ivf_neighbor") == F.col("exact_neighbor")).cast("int"),
+            F.lit(0),
+        ).alias("recall_at_1"),
+    )
+
+
+SQL_IVF_RECALL_EMBEDDINGS = SQL_EXACT_TOP1_PLANTED.format(alias="ivf_neighbor")
 
 
 # ------------------------------------------------------------------ text analysis
@@ -825,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "lsh_recall_embeddings": q_lsh_recall_embeddings,
+        "ivf_recall_embeddings": q_ivf_recall_embeddings,
         "fidelity_images": q_fidelity_images,
         "langid_documents": q_langid_documents,
         "quality_documents": q_quality_documents,
@@ -856,9 +981,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "ngram_jaccard_documents": SQL_NGRAM_JACCARD_DOCUMENTS,
         "keep_canonical_documents": SQL_KEEP_CANONICAL_DOCUMENTS,
+        "minhash_dedup_documents": SQL_MINHASH_DEDUP_DOCUMENTS,
         "hamming_pairs_documents": SQL_HAMMING_PAIRS_DOCUMENTS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "cosine_topk_embeddings": SQL_COSINE_TOPK_EMBEDDINGS,
+        "lsh_recall_embeddings": SQL_LSH_RECALL_EMBEDDINGS,
+        "ivf_recall_embeddings": SQL_IVF_RECALL_EMBEDDINGS,
         "langid_documents": SQL_LANGID_DOCUMENTS,
         "quality_documents": SQL_QUALITY_DOCUMENTS,
         "token_counts_documents": SQL_TOKEN_COUNTS_DOCUMENTS,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,8 +59,24 @@ BENCH_DATA = os.environ.get(
 )
 
 
+# Median-of-N per query (round 3): single-shot timings on this steal-prone
+# host could not distinguish a 12-67% "regression" from interference
+# (VERDICT r2); the median of 3 is robust to one bad run per query.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
 def sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def timed_median(fn) -> float:
+    """Median of REPS full executions (plan construction + run billed)."""
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return round(statistics.median(ts), 3)
 
 
 def main() -> None:
@@ -76,9 +93,7 @@ def main() -> None:
     sink(qs["row_checks_lineitem"](spark, SF_DIR).limit(1000))
 
     for name in HEADLINE:
-        t0 = time.time()
-        sink(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed_median(lambda: sink(qs[name](spark, SF_DIR)))
 
     # flagship: full four-pass suite over the deterministic image table
     from jsonschema_spark import fixtures as FX
@@ -99,25 +114,12 @@ def main() -> None:
     fact = spark.read.parquet(table_dir)
     baseline = spark.read.parquet(base_dir)
 
-    t0 = time.time()
-    res = validate_table(
-        fact, FX.SPEC_IMAGES,
-        dims={"dim_fmt": FX.dim_fmt_df(spark),
-              "dim_license": FX.dim_license_df(spark, cfg)},
-        baseline=baseline, drift_columns=FX.drift_columns(),
-    )
-    from concurrent.futures import ThreadPoolExecutor
-
-    outs = [df for df in (res.violations, res.verdicts, res.stats) if df is not None]
-    with ThreadPoolExecutor(len(outs)) as ex:  # independent DAGs: overlap stage gaps
-        list(ex.map(sink, outs))
-    suite_sec = round(time.time() - t0, 3)
-    timings["images_full_suite"] = suite_sec
-    res.cleanup()
-
-    # B28 fidelity throughput: decoded-pixel PSNR over a WITH-BYTES fixture
-    # table (bounded size — the binary column dominates storage; the pass is
-    # sampled at north scale, full-scan here for a stable number).
+    # WITH-BYTES fixture table: generating 8M rows of encoded bytes (~50 GB)
+    # is not sensible locally, so a bounded bytes table stands in for the
+    # binary column of the big table — (a) a SAMPLED slice of it runs inside
+    # the flagship timing as pass P5 (so the north metric covers all five
+    # passes), (b) a full scan of it is timed separately for a stable
+    # decode-throughput number.
     from jsonschema_spark.passes.fidelity import fidelity_violations
 
     n_fid = int(os.environ.get("SPARK_GRAFT_BENCH_FIDELITY_IMAGES", "200000"))
@@ -125,9 +127,34 @@ def main() -> None:
     fid_dir = os.path.join(BENCH_DATA, f"images_bytes_{n_fid}")
     if not os.path.exists(os.path.join(fid_dir, "_SUCCESS")):
         FX.generate_images_df(spark, fcfg).write.mode("overwrite").parquet(fid_dir)
-    t0 = time.time()
-    sink(fidelity_violations(spark.read.parquet(fid_dir), fcfg, fraction=1.0))
-    timings["fidelity_images_bytes"] = round(time.time() - t0, 3)
+    fid_df = spark.read.parquet(fid_dir)
+    # sampled P5 slice = 0.1% of the flagship row count (the north-scale
+    # policy: fidelity is sampled, fraction-proportional cost)
+    fid_fraction = min(1.0, (0.001 * N_IMAGES) / n_fid)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_suite() -> None:
+        res = validate_table(
+            fact, FX.SPEC_IMAGES,
+            dims={"dim_fmt": FX.dim_fmt_df(spark),
+                  "dim_license": FX.dim_license_df(spark, cfg)},
+            baseline=baseline, drift_columns=FX.drift_columns(),
+            fidelity_fn=lambda _: fidelity_violations(
+                fid_df, fcfg, fraction=fid_fraction),
+        )
+        outs = [df for df in (res.violations, res.verdicts, res.stats)
+                if df is not None]
+        with ThreadPoolExecutor(len(outs)) as ex:  # independent DAGs
+            list(ex.map(sink, outs))
+        res.cleanup()
+
+    suite_sec = timed_median(run_suite)
+    timings["images_full_suite"] = suite_sec
+
+    # full-scan decode throughput (separate from the flagship, see above)
+    timings["fidelity_images_bytes"] = timed_median(
+        lambda: sink(fidelity_violations(fid_df, fcfg, fraction=1.0)))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -139,6 +166,9 @@ def main() -> None:
         "images_per_sec": round(N_IMAGES / suite_sec, 1),
         "n_images": N_IMAGES,
         "cpus": CPUS,
+        "reps_per_query": REPS,  # each timing is the MEDIAN of this many runs
+        "flagship_passes": "P1 rows+stats, P2 uniqueness, P3 referential, "
+                           "P4 drift, P5 fidelity (sampled 0.1%)",
     }))
     spark.stop()
 

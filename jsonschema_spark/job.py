@@ -96,12 +96,24 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--top-k", type=int, default=None)
     ap.add_argument("--parallelism", type=int, default=None)
-    # B28: sampled decoded-pixel PSNR>=40dB + caption-equality fidelity pass
-    # (the only pass that reads `bytes`). The expected pixels re-derive from
-    # the deterministic generator via image_id index, so the pass needs the
-    # generator layout (n_parts, drift_part) it was built with.
+    # B28: sampled decoded-pixel fidelity pass (the only pass that reads
+    # `bytes`). Three modes:
+    #   phash     — recompute the perceptual hash from bytes and compare to
+    #               the table's own stored phash column. No reference input;
+    #               runs on ARBITRARY tables (the production default).
+    #   ref       — join a reference table of the same shape on image_id;
+    #               decoded-pixel PSNR>=40dB + caption equality vs it.
+    #   generator — expected pixels re-derive from the deterministic fixture
+    #               generator via image_id index (golden tests; needs the
+    #               generator layout knobs below).
     ap.add_argument("--sample-fidelity", type=float, default=None,
                     help="sampling fraction for the decoded-pixel fidelity pass")
+    ap.add_argument("--fidelity-mode", choices=["generator", "phash", "ref"],
+                    default=None,
+                    help="default: ref when --fidelity-ref is given, else "
+                         "generator (fixture-table compatibility)")
+    ap.add_argument("--fidelity-ref", default=None,
+                    help="reference-table path for --fidelity-mode ref")
     ap.add_argument("--fidelity-nparts", type=int, default=16)
     ap.add_argument("--fidelity-driftpart", type=int, default=7)
     ap.add_argument("--scratch", default=None,
@@ -143,14 +155,29 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     fidelity_fn = None
     if args.sample_fidelity:
         from .passes import fidelity as P5
-        from . import fixtures as FX
 
-        fcfg = FX.FixtureConfig(
-            n=0, n_parts=args.fidelity_nparts, drift_part=args.fidelity_driftpart
-        )
-        fidelity_fn = lambda df: P5.fidelity_violations(  # noqa: E731
-            df, fcfg, fraction=args.sample_fidelity, part_col=args.part_col
-        )
+        mode = args.fidelity_mode or ("ref" if args.fidelity_ref else "generator")
+        if mode == "phash":
+            fidelity_fn = lambda df: P5.fidelity_violations_phash(  # noqa: E731
+                df, fraction=args.sample_fidelity, part_col=args.part_col
+            )
+        elif mode == "ref":
+            if not args.fidelity_ref:
+                raise SystemExit("--fidelity-mode ref needs --fidelity-ref <path>")
+            ref = load_fact_table(spark, args.fidelity_ref, fmt=args.table_format)
+            fidelity_fn = lambda df: P5.fidelity_violations_ref(  # noqa: E731
+                df, ref, fraction=args.sample_fidelity,
+                part_col=args.part_col, key_col=args.key_col,
+            )
+        else:
+            from . import fixtures as FX
+
+            fcfg = FX.FixtureConfig(
+                n=0, n_parts=args.fidelity_nparts, drift_part=args.fidelity_driftpart
+            )
+            fidelity_fn = lambda df: P5.fidelity_violations(  # noqa: E731
+                df, fcfg, fraction=args.sample_fidelity, part_col=args.part_col
+            )
 
     res = validate_table(
         fact, spec, dims=dims, baseline=baseline,

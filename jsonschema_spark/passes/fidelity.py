@@ -112,3 +112,107 @@ def fidelity_violations(
             )
 
     return sampled.mapInPandas(check, schema=FIDELITY_SCHEMA)
+
+
+def _decode_any(raw: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    return codecs.decode(raw, fmt if fmt in ("png", "bmp") else "raw", int(w), int(h))
+
+
+def fidelity_violations_phash(
+    df: DataFrame,
+    fraction: float = 0.01,
+    seed: int = 7,
+    part_col: str = "part_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Reference-FREE fidelity: recompute the 64-bit perceptual hash from the
+    encoded ``bytes`` and compare against the table's own stored ``phash``
+    column — the production shape for any table carrying a trusted phash
+    (the north-rule input schema does: BASELINE.json input_hint). No
+    generator coupling, no second table; runs on arbitrary inputs.
+
+    A mismatch means the stored bytes no longer decode to the pixels the
+    phash was computed from (corruption, re-encode, wrong association).
+    Undecodable bytes surface as decode-error violations."""
+    sampled = df.select(
+        part_col, "image_id", "bytes", "fmt", "w", "h", F.col(phash_col).alias("_ph")
+    ).sample(fraction=fraction, seed=seed)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            # vectorized batch phash over the whole Arrow batch (raw rows
+            # grouped+stacked, png/bmp through the codec) — same kernel as
+            # the phash UDF, zero per-row Python on the raw path
+            got = phash_pandas(b["bytes"], b["fmt"], b["w"], b["h"]).to_numpy()
+            stored = b["_ph"].to_numpy(dtype=np.int64)
+            bad = np.flatnonzero(got != stored)
+            for j in bad:
+                r = b.iloc[j]
+                rows.append((r["part_id"], r["image_id"], "fidelity", "/phash",
+                             f"stored={int(stored[j])} recomputed={int(got[j])}"))
+            yield pd.DataFrame(
+                rows, columns=["part_id", "row_key", "keyword", "path", "value"]
+            )
+
+    return sampled.mapInPandas(check, schema=FIDELITY_SCHEMA)
+
+
+def fidelity_violations_ref(
+    df: DataFrame,
+    ref: DataFrame,
+    fraction: float = 0.01,
+    seed: int = 7,
+    part_col: str = "part_id",
+    key_col: str = "image_id",
+) -> DataFrame:
+    """Reference-TABLE fidelity (the BASELINE.json per-row invariant run
+    against stored ground truth): for a sampled slice, decode the fact
+    row's bytes AND the reference row's bytes, require PSNR >= 40 dB
+    (lossless pairs: bit-exact => PSNR inf) and caption byte-equality.
+
+    ``ref`` has the same shape as the fact table (image_id, bytes, fmt, w,
+    h, caption). Scale shape: the SAMPLE is taken first, so the join ships
+    only fraction x |fact| rows against the reference — an equi-join on
+    the key that AQE resolves (broadcast when the sample is small, which
+    at production fractions it is). Rows with no reference row are
+    unverifiable -> violations."""
+    sampled = df.select(
+        part_col, key_col, "bytes", "fmt", "w", "h", "caption"
+    ).sample(fraction=fraction, seed=seed)
+    r = ref.select(
+        F.col(key_col).alias("r_key"), F.col("bytes").alias("r_bytes"),
+        F.col("fmt").alias("r_fmt"), F.col("w").alias("r_w"),
+        F.col("h").alias("r_h"), F.col("caption").alias("r_caption"),
+    )
+    joined = sampled.join(r, sampled[key_col] == r["r_key"], "left")
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for row in b.itertuples(index=False):
+                rid = getattr(row, key_col)
+                pid = getattr(row, part_col)
+                if getattr(row, "r_key") is None:
+                    rows.append((pid, rid, "fidelity", f"/{key_col}", "no-reference-row"))
+                    continue
+                try:
+                    got = _decode_any(bytes(row.bytes), row.fmt, row.w, row.h)
+                    want = _decode_any(bytes(row.r_bytes), row.r_fmt, row.r_w, row.r_h)
+                except Exception as e:
+                    rows.append((pid, rid, "fidelity", "/bytes", f"decode-error:{e}"))
+                    continue
+                if got.shape != want.shape:
+                    rows.append((pid, rid, "fidelity", "/bytes",
+                                 f"shape={got.shape} ref={want.shape}"))
+                else:
+                    p = codecs.psnr(want, got)
+                    if p < PSNR_MIN_DB:
+                        rows.append((pid, rid, "fidelity", "/bytes", f"psnr={p:.2f}"))
+                if row.caption != row.r_caption:
+                    rows.append((pid, rid, "fidelity", "/caption", "caption-mismatch"))
+            yield pd.DataFrame(
+                rows, columns=["part_id", "row_key", "keyword", "path", "value"]
+            )
+
+    return joined.mapInPandas(check, schema=FIDELITY_SCHEMA)

@@ -247,3 +247,90 @@ def test_loader_is_the_single_fact_scan_choke_point(monkeypatch, spark, tmp_path
     }
     bad = [o for o in offenders if o[0] not in allowed]
     assert not bad, f"unexpected fact-scan sites: {bad}"
+
+
+# ------------------------------------- reference-driven fidelity (VERDICT 3)
+
+def _raw_row(i, pid, w=8, h=8, caption=None, px_fill=None, phash=None):
+    import numpy as np
+    from jsonschema_spark import fixtures as FX
+
+    rng = np.random.default_rng(i)
+    px = (rng.integers(0, 256, (h, w, 3)).astype("uint8")
+          if px_fill is None else np.full((h, w, 3), px_fill, dtype="uint8"))
+    return {
+        "image_id": f"prod-{i}", "bytes": px.tobytes(), "w": w, "h": h,
+        "fmt": "raw", "caption": caption or f"caption {i}",
+        "phash": int(phash) if phash is not None else FX.phash64(px),
+        "part_id": pid,
+    }
+
+
+def _raw_table(spark, rows):
+    from jsonschema_spark.fixtures import IMAGES_DDL
+
+    return spark.createDataFrame(rows, IMAGES_DDL)
+
+
+def test_fidelity_phash_mode_no_generator_coupling(spark):
+    """phash mode runs on a table with ARBITRARY ids (prod-*, not img-*):
+    recomputed-vs-stored phash catches exactly the corrupted rows."""
+    from jsonschema_spark.passes.fidelity import fidelity_violations_phash
+
+    rows = [_raw_row(i, i % 2) for i in range(20)]
+    rows[3]["phash"] = rows[3]["phash"] ^ 1     # corrupt stored hash
+    rows[7]["phash"] = rows[7]["phash"] + 42
+    df = _raw_table(spark, rows)
+    v = fidelity_violations_phash(df, fraction=1.0).collect()
+    assert {r.row_key for r in v} == {"prod-3", "prod-7"}
+    assert all(r.path == "/phash" for r in v)
+
+
+def test_fidelity_ref_mode_planted_mismatches(spark):
+    """ref mode: decoded-pixel PSNR + caption equality against a reference
+    table — pixel corruption, caption drift, and a missing reference row
+    each surface with their own path; clean rows are silent."""
+    from jsonschema_spark.passes.fidelity import fidelity_violations_ref
+
+    ref_rows = [_raw_row(i, i % 2) for i in range(12)]
+    fact_rows = [dict(r) for r in ref_rows]
+    fact_rows[2] = _raw_row(2, 0, px_fill=200)          # pixels differ -> PSNR fail
+    fact_rows[5]["caption"] = "tampered"                # caption mismatch
+    fact_rows.append(_raw_row(99, 1))                   # no reference row
+    fact = _raw_table(spark, fact_rows)
+    ref = _raw_table(spark, ref_rows)
+    got = {(r.row_key, r.path) for r in
+           fidelity_violations_ref(fact, ref, fraction=1.0).collect()}
+    assert got == {("prod-2", "/bytes"), ("prod-5", "/caption"),
+                   ("prod-99", "/image_id")}
+
+
+def test_fidelity_ref_mode_identical_tables_clean(spark):
+    from jsonschema_spark.passes.fidelity import fidelity_violations_ref
+
+    rows = [_raw_row(i, 0) for i in range(10)]
+    df = _raw_table(spark, rows)
+    assert fidelity_violations_ref(df, df, fraction=1.0).count() == 0
+
+
+def test_cli_fidelity_phash_mode_no_generator_knobs(spark, tmp_path):
+    """VERDICT r2 #3 'done' condition: a CLI run over a table with NO
+    generator coupling produces fidelity verdicts in the sink."""
+    from jsonschema_spark.job import run
+
+    rows = [_raw_row(i, i % 2) for i in range(40)]
+    rows[11]["phash"] = rows[11]["phash"] ^ 3
+    _raw_table(spark, rows).write.parquet(str(tmp_path / "imgs"))
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump({"required": ["image_id"]}, f)
+    s = run(["--table", str(tmp_path / "imgs"), "--spec", spec_path,
+             "--manifest", str(tmp_path / "man"), "--out", str(tmp_path / "out"),
+             "--sample-fidelity", "1.0", "--fidelity-mode", "phash"], spark=spark)
+    assert s["status"] == "ok"
+    fid = spark.read.parquet(str(tmp_path / "out/violations")).where(
+        F.col("pass_id") == "fidelity")
+    assert {r.row_key for r in fid.collect()} == {"prod-11"}
+    verd = spark.read.parquet(str(tmp_path / "out/verdicts")).where(
+        F.col("pass_id") == "fidelity")
+    assert verd.count() > 0

@@ -6,12 +6,25 @@ exists in this sandbox, so the criterion is evidenced per the driver's
 protocol: the IDENTICAL full-suite job at two parallelism levels (own JVM
 each, like separate cluster submissions) on the SAME parquet input.
 
-    python tools/run_scaling.py [--small 8] [--large 32] [--runs 3]
-                                [--n-images 2000000]
+Round-3 protocol hardening (VERDICT r2 / ADVICE r2):
 
-Each level shells out to tools/scaling_bench.py (fresh JVM per level);
-efficiency = (thr_large / thr_small) / (large / small). Results land in
-BENCH/BASELINE.md and BENCH/scaling.json.
+- PRE-REGISTERED ESTIMATOR: the gate figure is the MEDIAN-based
+  platform-normalized efficiency — median suite speedup divided by the
+  median calibration-job speedup (the single-box DRAM/cache ceiling a
+  trivially-parallel zero-engine-code scan achieves). Raw, min-based and
+  trimmed-mean figures are reported as context only; they do not gate.
+- INTERLEAVED LEVELS: rounds of (small JVM, large JVM) alternate A/B/A/B
+  so host interference (CPU steal measured up to 11% on this box) hits
+  both levels equally instead of whichever block it lands on.
+- PER-RUN STEAL: each timed run carries the /proc/stat steal%% observed
+  during it, reported next to the timing.
+
+    python tools/run_scaling.py [--small 8] [--large 32] [--rounds 7]
+                                [--n-images 32000000]
+
+Each round shells tools/scaling_bench.py once per level (fresh JVM, one
+discarded warm-up + one timed run). Results land in BENCH/BASELINE.md and
+BENCH/scaling.json.
 """
 
 from __future__ import annotations
@@ -20,19 +33,21 @@ import argparse
 import datetime
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, runs: int, n_images: int) -> dict:
+def run_level_once(cores: int, n_images: int) -> dict:
     # taskset pins the whole process tree (JVM + Python) to exactly `cores`
     # hardware threads — local[N] alone caps only task slots, while GC/IO/
     # compression threads would silently use every host core, inflating the
     # small level's throughput and corrupting the efficiency ratio.
     cmd = [os.path.join(ROOT, "tools", "scaling_bench.py"),
-           "--cores", str(cores), "--runs", str(runs), "--n-images", str(n_images)]
+           "--cores", str(cores), "--runs", "1", "--warmups", "1",
+           "--n-images", str(n_images)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}", sys.executable] + cmd
     else:
@@ -46,17 +61,56 @@ def run_level(cores: int, runs: int, n_images: int) -> dict:
     return json.loads(last[-1])
 
 
+def trimmed_mean(xs: list[float]) -> float:
+    if len(xs) <= 2:
+        return statistics.mean(xs)
+    s = sorted(xs)[1:-1]  # drop one min and one max
+    return statistics.mean(s)
+
+
+def collect_level(rounds: list[dict], cores: int) -> dict:
+    runs = [r["runs"][0] for r in rounds]
+    steals = [r["steals"][0] for r in rounds]
+    calib = [r["calib_runs"][0] for r in rounds]
+    calib_steals = [r["calib_steals"][0] for r in rounds]
+    n = rounds[0]["n_images"]
+    med = statistics.median(runs)
+    return {
+        "cores": cores,
+        "n_images": n,
+        "runs": runs,
+        "steals": steals,
+        "median_sec": med,
+        "trimmed_mean_sec": round(trimmed_mean(runs), 2),
+        "min_sec": min(runs),
+        "images_per_sec": round(n / med, 1),
+        "images_per_sec_best": round(n / min(runs), 1),
+        "calib_runs": calib,
+        "calib_steals": calib_steals,
+        "calib_median_sec": statistics.median(calib),
+        "calib_trimmed_mean_sec": round(trimmed_mean(calib), 2),
+        "calib_min_sec": min(calib),
+        "shuffle_partitions": rounds[0]["shuffle_partitions"],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--rounds", type=int, default=7)
     ap.add_argument("--n-images", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000")))
     args = ap.parse_args()
 
-    small = run_level(args.small, args.runs, args.n_images)
-    large = run_level(args.large, args.runs, args.n_images)
+    small_rounds, large_rounds = [], []
+    for i in range(args.rounds):
+        print(f"[run_scaling] === round {i + 1}/{args.rounds} ===", flush=True)
+        small_rounds.append(run_level_once(args.small, args.n_images))
+        large_rounds.append(run_level_once(args.large, args.n_images))
+    small = collect_level(small_rounds, args.small)
+    large = collect_level(large_rounds, args.large)
+
     probe_out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "platform_probe.py"),
          "--small", str(args.small), "--large", str(args.large)],
@@ -64,22 +118,31 @@ def main() -> None:
     platform = json.loads(probe_out.stdout.strip().splitlines()[-1])
 
     ratio = args.large / args.small
+    # ---- the PRE-REGISTERED gate figure (see module docstring) ----
     speedup = small["median_sec"] / large["median_sec"]
-    eff = speedup / ratio
     calib_speedup = small["calib_median_sec"] / large["calib_median_sec"]
-    calib_eff = calib_speedup / ratio
     norm_eff = speedup / calib_speedup
-    # min-of-N: on a shared/steal-prone host the minimum is the least-
-    # interference estimate of each level's true capability (standard
-    # noisy-host benchmarking practice); reported alongside medians.
+    gate = "PASS" if norm_eff >= 0.8 else "FAIL"
+    # ---- context-only figures ----
+    eff = speedup / ratio
+    calib_eff = calib_speedup / ratio
+    speedup_tm = small["trimmed_mean_sec"] / large["trimmed_mean_sec"]
+    calib_speedup_tm = small["calib_trimmed_mean_sec"] / large["calib_trimmed_mean_sec"]
+    norm_eff_tm = speedup_tm / calib_speedup_tm
     speedup_min = small["min_sec"] / large["min_sec"]
     calib_speedup_min = small["calib_min_sec"] / large["calib_min_sec"]
     norm_eff_min = speedup_min / calib_speedup_min
+
     result = {
-        "protocol": f"taskset-pinned local[{args.small}] vs local[{args.large}], same "
-                    f"parquet input, fresh JVM per level, median of {args.runs} "
-                    "(1 warm-up discarded)",
+        "protocol": f"INTERLEAVED taskset-pinned local[{args.small}] vs "
+                    f"local[{args.large}]: {args.rounds} alternating rounds, "
+                    "fresh JVM per timed run (1 discarded warm-up each), same "
+                    "parquet input, per-run /proc/stat steal recorded",
+        "preregistered_estimator": "median-based platform-normalized efficiency "
+                                   "(median suite speedup / median calibration "
+                                   "speedup) >= 0.8; all other figures are context",
         "n_images": args.n_images,
+        "rounds": args.rounds,
         "small": small,
         "large": large,
         "speedup": round(speedup, 3),
@@ -88,11 +151,18 @@ def main() -> None:
         "calibration_speedup": round(calib_speedup, 3),
         "calibration_efficiency": round(calib_eff, 3),
         "platform_normalized_efficiency": round(norm_eff, 3),
-        "speedup_min_based": round(speedup_min, 3),
-        "efficiency_min_based": round(speedup_min / ratio, 3),
-        "platform_normalized_efficiency_min_based": round(norm_eff_min, 3),
+        "context_trimmed_mean": {
+            "speedup": round(speedup_tm, 3),
+            "efficiency": round(speedup_tm / ratio, 3),
+            "platform_normalized_efficiency": round(norm_eff_tm, 3),
+        },
+        "context_min_based": {
+            "speedup": round(speedup_min, 3),
+            "efficiency": round(speedup_min / ratio, 3),
+            "platform_normalized_efficiency": round(norm_eff_min, 3),
+        },
         "platform": platform,
-        "gate": "PASS" if (eff >= 0.8 or norm_eff >= 0.8 or norm_eff_min >= 0.8) else "FAIL",
+        "gate": gate,
         "date": datetime.datetime.now().isoformat(timespec="seconds"),
     }
 
@@ -100,75 +170,70 @@ def main() -> None:
     with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
 
+    def runs_tbl(level: dict) -> str:
+        return ", ".join(f"{r}s ({s}% steal)"
+                         for r, s in zip(level["runs"], level["steals"]))
+
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence (north rule)
 
 **Criterion** (BASELINE.json): throughput scaling efficiency >=0.8 from N to 4N
 executors. No multi-node cluster exists in this sandbox, so per the sandbox
-protocol in /root/repo/BASELINE.md the SAME full-suite job (fixture image+caption
-table, all validation passes, noop sinks) runs at two parallelism levels, each in
-its own JVM pinned to exactly that many hardware threads via `taskset` +
+protocol the SAME full-suite job (fixture image+caption table, all validation
+passes, noop sinks) runs at two parallelism levels, each timed run in its own
+JVM pinned to exactly that many hardware threads via `taskset` +
 `-XX:ActiveProcessorCount` — the local-mode analogue of two cluster submissions.
 
-## Suite throughput
+**Pre-registered estimator** (fixed before this measurement, per ADVICE r2):
+the gate figure is the **median-based platform-normalized efficiency** —
+median suite speedup divided by the median speedup of a trivially-parallel
+zero-engine-code calibration scan of the same input (the single-box
+DRAM/cache ceiling). Raw single-box, trimmed-mean and min-based figures are
+reported as context and do NOT gate.
 
-| level | cores | runs (sec) | median (sec) | min (sec) | images/sec (median) | images/sec (best) |
+**Interference control**: the two levels alternate A/B/A/B over
+{args.rounds} rounds (fresh JVM pair per round) so host CPU steal hits both
+levels equally; each timed run reports the steal%% observed during it.
+
+## Suite throughput ({args.n_images:,} images, shared parquet input)
+
+| level | cores | timed runs (steal during run) | median | trimmed mean | min | images/sec (median) |
 |---|---|---|---|---|---|---|
-| N  | {small['cores']} | {small['runs']} | {small['median_sec']} | {small['min_sec']} | {small['images_per_sec']:,.0f} | {small['images_per_sec_best']:,.0f} |
-| 4N | {large['cores']} | {large['runs']} | {large['median_sec']} | {large['min_sec']} | {large['images_per_sec']:,.0f} | {large['images_per_sec_best']:,.0f} |
+| N  | {small['cores']} | {runs_tbl(small)} | {small['median_sec']}s | {small['trimmed_mean_sec']}s | {small['min_sec']}s | {small['images_per_sec']:,.0f} |
+| 4N | {large['cores']} | {runs_tbl(large)} | {large['median_sec']}s | {large['trimmed_mean_sec']}s | {large['min_sec']}s | {large['images_per_sec']:,.0f} |
 
-- input: {args.n_images:,} images (deterministic fixture, 256 file partitions,
-  parquet on disk — generated once, shared by both levels)
-- suite speedup {small['cores']}->{large['cores']} cores: **{speedup:.2f}x** median-based,
-  **{speedup_min:.2f}x** min-based (ideal {ratio:.0f}x) -> raw efficiency
-  **{eff:.3f}** / **{speedup_min / ratio:.3f}**
 - shuffle partitions per level: {small['shuffle_partitions']} / {large['shuffle_partitions']}
   (recommended_conf scales them with parallelism, as per-cluster submissions would)
-- run-to-run spread on this host is large (CPU steal measured up to 11%);
-  min-of-{args.runs} is the least-interference estimate of each level's capability
 
-## Why raw single-box efficiency cannot reach 0.8 here — and why the job still scales
+## Why raw single-box efficiency cannot reach 0.8 here — and the platform ceiling
 
 A 4N-executor **cluster** adds 4x CPUs *and 4x DRAM channels, caches and I/O*.
-One sandbox box adds only task slots. Measured platform ceilings (reproduce:
+One sandbox box adds only task slots. Measured ceilings (reproduce:
 `python tools/platform_probe.py`):
 
 | probe | {small['cores']} cores | {large['cores']} cores | speedup | efficiency |
 |---|---|---|---|---|
 | pure CPU (mp sha256, no memory traffic) | {platform['cpu_hashes_per_sec']['small']:,}/s | {platform['cpu_hashes_per_sec']['large']:,}/s | {platform['cpu_speedup']}x | {platform['cpu_efficiency']} |
 | DRAM stream bandwidth | {platform['dram_gb_per_sec']['small']} GB/s | {platform['dram_gb_per_sec']['large']} GB/s | {platform['dram_speedup']}x | — |
-| **calibration**: trivially-parallel Spark scan+hash of the same parquet, zero shuffle, zero engine code | {small['calib_median_sec']}s | {large['calib_median_sec']}s | {calib_speedup:.2f}x | {calib_eff:.3f} |
+| **calibration**: trivially-parallel Spark scan+hash of the same parquet, zero shuffle, zero engine code | median {small['calib_median_sec']}s (runs {small['calib_runs']}) | median {large['calib_median_sec']}s (runs {large['calib_runs']}) | {calib_speedup:.2f}x | {calib_eff:.3f} |
 
-DRAM bandwidth *{"degrades" if platform['dram_speedup'] < 1 else "saturates"}* from
-N to 4N processes ({platform['dram_gb_per_sec']['small']} -> {platform['dram_gb_per_sec']['large']} GB/s):
-any scan-shaped Spark job — including one with NO joins, NO shuffles and NO
-engine code — tops out at **{calib_speedup:.2f}x** on this host. That is the
-achievable ceiling, not a property of the engine.
+Any scan-shaped Spark job — including one with NO joins, NO shuffles and NO
+engine code — tops out at **{calib_speedup:.2f}x** (median) on this host.
+That is the achievable ceiling, not a property of the engine.
 
-## Verdict
+## Verdict — gate on the pre-registered figure
 
-- suite efficiency (raw, single box): **{eff:.3f}** median-based /
-  **{speedup_min / ratio:.3f}** min-based
-- platform-achievable efficiency (calibration job): **{calib_eff:.3f}**
-- suite speedup / platform-achievable speedup: **{norm_eff:.3f}** median-based /
-  **{norm_eff_min:.3f}** min-based -> gate (>=0.8 on any figure):
-  **{result['gate']}**
+- suite speedup {small['cores']}->{large['cores']} cores: **{speedup:.2f}x** median
+  (context: {speedup_tm:.2f}x trimmed mean, {speedup_min:.2f}x min; ideal {ratio:.0f}x)
+- calibration speedup: **{calib_speedup:.2f}x** median
+- **platform-normalized efficiency (median, THE gate figure): {norm_eff:.3f}**
+  -> gate (>=0.8): **{gate}**
+- context only: raw single-box efficiency {eff:.3f}; trimmed-mean normalized
+  {norm_eff_tm:.3f}; min-based normalized {norm_eff_min:.3f}
 
-The engine introduces no scaling loss of its own: its N->4N speedup matches the
-trivially-parallel calibration job on the same input. Stage-level audit
-(event-log profile, tools/ notes): every data-scale stage runs 32-way parallel;
-the only single-task stages are sub-second broadcast builds. On a real 4N-executor
-cluster — where DRAM, cache and I/O scale with nodes, per the north rule's
-`spark-submit` deployment — the same plan shapes (one fused scan, map-side
-partial aggregation, broadcast/shuffle-hash joins with bounded payloads) scale
-with node count.
-
-Engine-side scaling fixes shipped with this round (profile-driven):
-- violations projection short-circuits to a shared empty-array literal on
-  all-valid rows (was: |checks| struct allocations per row -> 60-90% GC time in
-  the 32-core cache-build stage);
-- HLL sketch inputs pass int/long/string natively (was: a UTF8String
-  allocation per int cell);
-- all passes consume ONE fused scan (was: ~5 independent fact scans).
+On a real 4N-executor cluster — where DRAM, cache and I/O scale with nodes,
+per the north rule's `spark-submit` deployment — the same plan shapes (one
+fused scan, map-side partial aggregation, broadcast/shuffle-hash joins with
+bounded payloads) scale with node count.
 
 - measured: {result['date']}
 

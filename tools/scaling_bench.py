@@ -9,9 +9,14 @@ parallelism levels on the SAME parquet input:
 
 Each invocation is its own JVM (like a separate cluster submission): one
 warm-up run (discarded — codegen/JIT) then --runs timed runs; prints one
-JSON line {cores, runs:[sec...], median_sec, images_per_sec}.
+JSON line {cores, runs:[sec...], steals:[pct...], median_sec, ...}.
 
-tools/run_scaling.py orchestrates both levels and writes BENCH/BASELINE.md.
+Per-run /proc/stat CPU-steal is recorded next to each timing (VERDICT r2:
+the host showed up to 11% steal; timings must carry their interference
+context, not hide it).
+
+tools/run_scaling.py orchestrates both levels INTERLEAVED (A/B/A/B rounds,
+fresh JVM pair per round) and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -24,6 +29,20 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def read_steal() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the host-wide /proc/stat cpu line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
 
 
 def main() -> None:
@@ -114,7 +133,11 @@ def main() -> None:
 
     for _ in range(args.warmups):  # JIT/codegen warm-up, discarded
         one_run()
-    runs = [round(one_run(), 2) for _ in range(args.runs)]
+    runs, steals = [], []
+    for _ in range(args.runs):
+        s0 = read_steal()
+        runs.append(round(one_run(), 2))
+        steals.append(steal_pct(s0, read_steal()))
     med = statistics.median(runs)
 
     # Platform calibration: a trivially-parallel scan+hash over the SAME
@@ -133,17 +156,23 @@ def main() -> None:
         return time.time() - t0
 
     calib(999)  # warm-up
-    calib_runs = [round(calib(i), 2) for i in range(args.runs)]
+    calib_runs, calib_steals = [], []
+    for i in range(args.runs):
+        s0 = read_steal()
+        calib_runs.append(round(calib(i), 2))
+        calib_steals.append(steal_pct(s0, read_steal()))
 
     print(json.dumps({
         "cores": args.cores,
         "n_images": n,
         "runs": runs,
+        "steals": steals,
         "median_sec": med,
         "min_sec": min(runs),
         "images_per_sec": round(n / med, 1),
         "images_per_sec_best": round(n / min(runs), 1),
         "calib_runs": calib_runs,
+        "calib_steals": calib_steals,
         "calib_median_sec": statistics.median(calib_runs),
         "calib_min_sec": min(calib_runs),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
