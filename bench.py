@@ -69,13 +69,31 @@ def sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def timed_median(fn) -> float:
-    """Median of REPS full executions (plan construction + run billed)."""
+def _read_steal() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the host-wide /proc/stat cpu line —
+    per-measurement interference context (this host shows up to 11% CPU
+    steal; a timing without its steal figure cannot be interpreted)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
+STEALS: dict[str, float] = {}
+
+
+def timed_median(fn, name: str | None = None) -> float:
+    """Median of REPS full executions (plan construction + run billed).
+    Records the steal%% observed across all reps under ``name``."""
     ts = []
+    s0 = _read_steal()
     for _ in range(REPS):
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
+    s1 = _read_steal()
+    if name is not None and s1[1] > s0[1]:
+        STEALS[name] = round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
     return round(statistics.median(ts), 3)
 
 
@@ -93,7 +111,7 @@ def main() -> None:
     sink(qs["row_checks_lineitem"](spark, SF_DIR).limit(1000))
 
     for name in HEADLINE:
-        timings[name] = timed_median(lambda: sink(qs[name](spark, SF_DIR)))
+        timings[name] = timed_median(lambda: sink(qs[name](spark, SF_DIR)), name)
 
     # flagship: full four-pass suite over the deterministic image table
     from jsonschema_spark import fixtures as FX
@@ -149,12 +167,13 @@ def main() -> None:
             list(ex.map(sink, outs))
         res.cleanup()
 
-    suite_sec = timed_median(run_suite)
+    suite_sec = timed_median(run_suite, "images_full_suite")
     timings["images_full_suite"] = suite_sec
 
     # full-scan decode throughput (separate from the flagship, see above)
     timings["fidelity_images_bytes"] = timed_median(
-        lambda: sink(fidelity_violations(fid_df, fcfg, fraction=1.0)))
+        lambda: sink(fidelity_violations(fid_df, fcfg, fraction=1.0)),
+        "fidelity_images_bytes")
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -167,6 +186,7 @@ def main() -> None:
         "n_images": N_IMAGES,
         "cpus": CPUS,
         "reps_per_query": REPS,  # each timing is the MEDIAN of this many runs
+        "steal_pct": STEALS,     # /proc/stat CPU steal observed per query
         "flagship_passes": "P1 rows+stats, P2 uniqueness, P3 referential, "
                            "P4 drift, P5 fidelity (sampled 0.1%)",
     }))
