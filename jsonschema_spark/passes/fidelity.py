@@ -145,12 +145,14 @@ def fidelity_violations_phash(
             # grouped+stacked, png/bmp through the codec) — same kernel as
             # the phash UDF, zero per-row Python on the raw path
             got = phash_pandas(b["bytes"], b["fmt"], b["w"], b["h"]).to_numpy()
-            stored = b["_ph"].to_numpy(dtype=np.int64)
-            bad = np.flatnonzero(got != stored)
+            isnull = b["_ph"].isna().to_numpy()
+            stored = b["_ph"].fillna(0).to_numpy(dtype=np.int64)
+            bad = np.flatnonzero((got != stored) | isnull)
             for j in bad:
                 r = b.iloc[j]
+                s = "null" if isnull[j] else str(int(stored[j]))
                 rows.append((r["part_id"], r["image_id"], "fidelity", "/phash",
-                             f"stored={int(stored[j])} recomputed={int(got[j])}"))
+                             f"stored={s} recomputed={int(got[j])}"))
             yield pd.DataFrame(
                 rows, columns=["part_id", "row_key", "keyword", "path", "value"]
             )

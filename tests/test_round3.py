@@ -334,3 +334,16 @@ def test_cli_fidelity_phash_mode_no_generator_knobs(spark, tmp_path):
     verd = spark.read.parquet(str(tmp_path / "out/verdicts")).where(
         F.col("pass_id") == "fidelity")
     assert verd.count() > 0
+
+
+def test_fidelity_phash_mode_null_stored_phash_is_violation(spark):
+    """A NULL stored phash must surface as a fidelity violation, not crash
+    the Arrow kernel on int64 conversion."""
+    from jsonschema_spark.passes.fidelity import fidelity_violations_phash
+
+    rows = [_raw_row(i, 0) for i in range(6)]
+    rows[4]["phash"] = None
+    df = _raw_table(spark, rows)
+    v = fidelity_violations_phash(df, fraction=1.0).collect()
+    assert [(r.row_key, r.path) for r in v] == [("prod-4", "/phash")]
+    assert "stored=null" in v[0].value
