@@ -148,16 +148,23 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature per doc. Each hash h_k is
-    min over shingles of xxhash64(shingle, k); all ``num_hashes`` minima are
-    computed in ONE aggregation over the exploded shingle table. Hot
-    shingles above ``max_shingle_freq`` are cut (same default + rationale
-    as ngram_jaccard_pairs — they dominate every doc's minima while
-    carrying no discriminative signal)."""
+    min over shingles of hash_fn(shingle, k) (default ``xxhash64``, JVM
+    codegen); all ``num_hashes`` minima are computed in ONE aggregation over
+    the exploded shingle table. Hot shingles above ``max_shingle_freq`` are
+    cut (same default + rationale as ngram_jaccard_pairs — they dominate
+    every doc's minima while carrying no discriminative signal).
+
+    ``hash_fn(col, k) -> Column`` exists so an SQL-expressible hash (e.g.
+    md5-derived) can drive the SAME aggregation/banding plan for
+    oracle-backed verification — xxhash64 has no DuckDB twin."""
+    if hash_fn is None:
+        hash_fn = lambda c, k: F.xxhash64(c, F.lit(k))  # noqa: E731
     sh = _cut_hot_shingles(shingles(df, id_col, text_col, n), max_shingle_freq)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        F.min(hash_fn(F.col("shingle"), k)).alias(f"h{k}")
         for k in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*aggs)
@@ -172,12 +179,15 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     n: int = 3,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    hash_fn=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing ANY band
-    signature. (id_a, id_b) distinct pairs. bands must divide num_hashes."""
+    signature. (id_a, id_b) distinct pairs. bands must divide num_hashes.
+    ``hash_fn`` threads through to minhash_signatures (oracle variants)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, id_col, text_col, n, max_shingle_freq)
+    sig = minhash_signatures(df, num_hashes, id_col, text_col, n,
+                             max_shingle_freq, hash_fn)
     band_entries = F.array(
         *[
             F.struct(
@@ -243,23 +253,28 @@ def minhash_dedup(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 64, hash_fn=None,
 ) -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over word tokens, computed as 64
-    per-bit sums in a single aggregation (no per-row Python)."""
+    """(id, simhash: long) — ``bits``-bit SimHash over word tokens, computed
+    as per-bit weighted sums in a single aggregation (no per-row Python).
+    ``hash_fn(col) -> Column`` defaults to ``xxhash64``; an SQL-expressible
+    hash (md5-derived) drives the same plan for oracle verification."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     tok = with_words(df, text_col).select(
         F.col(id_col).alias("id"), F.explode("_words").alias("tok")
     )
-    tok = tok.withColumn("h", F.xxhash64("tok"))
+    tok = tok.withColumn("h", hash_fn(F.col("tok")))
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = tok.groupBy("id").agg(*bit_aggs)
     sim = None
-    for b in range(64):
+    for b in range(bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR

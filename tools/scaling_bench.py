@@ -54,6 +54,9 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000")))
     ap.add_argument("--data", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata"))
+    ap.add_argument("--eventlog", default=None,
+                    help="directory for Spark event logs (stage-level profiling "
+                         "via tools/stage_profile.py); off by default")
     args = ap.parse_args()
 
     from jsonschema_spark.engine import recommended_conf, validate_table
@@ -80,6 +83,11 @@ def main() -> None:
                  f"-XX:+UseParallelGC -XX:ActiveProcessorCount={args.cores}")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false"))
+    if args.eventlog:
+        os.makedirs(args.eventlog, exist_ok=True)
+        b = (b.config("spark.eventLog.enabled", "true")
+             .config("spark.eventLog.dir", args.eventlog)
+             .config("spark.eventLog.compress", "false"))
     for k, v in recommended_conf(args.cores).items():
         b = b.config(k, v)
     # 32 MB input splits: the 2.5 GB input would otherwise make a single
