@@ -44,11 +44,17 @@ def cpu_rate(n_proc: int) -> float:
 
 
 def _bw_work(_):
+    # Preallocated out= buffer: `b = a * c` would malloc/mmap a fresh 64 MB
+    # array every pass, timing page faults and allocator churn instead of
+    # DRAM (measured swings of 0.1-45 GB/s at the same level). One untimed
+    # pass warms both buffers' pages.
     a = np.ones(64_000_000 // 8, dtype=np.float64)  # 64 MB
+    b = np.empty_like(a)
+    np.multiply(a, 1.000001, out=b)  # warm-up: fault b's pages
     t0 = time.time()
     n = 0
     while time.time() - t0 < 3.0:
-        b = a * 1.000001  # 64 MB read + 64 MB write per pass
+        np.multiply(a, 1.000001, out=b)  # 64 MB read + 64 MB write
         a, b = b, a
         n += 1
     return n * 128e6 / (time.time() - t0)
