@@ -30,7 +30,14 @@ from .passes.drift import DriftColumn
 
 
 def _drift_name(expr: str) -> str:
-    return expr.replace("length(", "len_").rstrip(")") if "(" in expr else expr
+    """Metric name for a drift expression without an explicit "name":
+    any SQL expression sanitizes to an identifier-ish slug — e.g.
+    ``length(caption)`` -> ``length_caption``, ``w * h`` -> ``w_h`` —
+    so sink paths and verdict keys never carry raw SQL."""
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", expr).strip("_")
+    return slug or "expr"
 
 
 def parse_drift_columns(spec) -> list[DriftColumn]:

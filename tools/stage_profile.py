@@ -56,8 +56,15 @@ def parse_eventlog(logdir: str) -> dict[str, dict]:
     stages: dict[int, dict] = {}
     tasks = collections.defaultdict(lambda: {"run_ms": 0, "gc_ms": 0, "cpu_ms": 0,
                                              "sh_read": 0, "sh_write": 0, "n": 0})
-    files = [f for f in glob.glob(os.path.join(logdir, "*"))
-             if not f.endswith(".inprogress")] or glob.glob(os.path.join(logdir, "*"))
+    # Spark 4 event logs are rolling DIRECTORIES (eventlog_v2_<app>/
+    # events_1_<app>); plain files appear with rolling disabled.
+    files = []
+    for entry in glob.glob(os.path.join(logdir, "*")):
+        if os.path.isdir(entry):
+            files.extend(f for f in glob.glob(os.path.join(entry, "events_*"))
+                         if not f.endswith(".inprogress"))
+        elif not os.path.basename(entry).startswith("appstatus_"):
+            files.append(entry)
     for path in files:
         with open(path) as f:
             for line in f:
@@ -158,6 +165,14 @@ def main() -> None:
           f"{args.large // args.small}x); `eff` = ratio/ideal. Stages "
           "aggregated by name across the app (warm-up + timed run). GC "
           "fraction and shuffle volume locate the cause of any loss.",
+          "",
+          "Caveats: stages that run CONCURRENTLY under one name (the three "
+          "sink jobs are submitted in parallel) have overlapping walls, so "
+          "their summed-wall parallelism is a LOWER bound — the ratio "
+          "column compares like-for-like across levels and is the signal. "
+          "A stage whose ratio tracks the ideal scales with cores; a "
+          "bottleneck stage would pin its parallelism at both levels "
+          "(ratio ~1x).",
           "",
           "| stage | wall 8c | wall 32c | par 8c | par 32c | ratio | eff | "
           "gc 8c | gc 32c | shuffle MB (32c) |",
