@@ -347,3 +347,128 @@ def test_fidelity_phash_mode_null_stored_phash_is_violation(spark):
     v = fidelity_violations_phash(df, fraction=1.0).collect()
     assert [(r.row_key, r.path) for r in v] == [("prod-4", "/phash")]
     assert "stored=null" in v[0].value
+
+
+# --------------------------- md5-oracle equivalence on pathological texts
+
+PATHOLOGICAL_DOCS = [
+    (1, ""),                          # empty
+    (2, "   "),                       # whitespace-only (trims to empty)
+    (3, "\t\n"),                      # mixed whitespace
+    (4, "hello"),                     # single word (below shingle width)
+    (5, "hello world"),               # two words (still below n=3)
+    (6, "a a a a a"),                 # repeated single token
+    (7, "one two three four"),        # minimal shingle-bearing doc
+    (8, "one  two\tthree\nfour"),     # same words, messy separators
+]
+
+
+def _pathological_df(spark):
+    return spark.createDataFrame(PATHOLOGICAL_DOCS, "doc_id int, text string")
+
+
+def test_simhash_md5_oracle_on_pathological_texts(spark):
+    """The sf0.01 documents table contains no degenerate texts, so the
+    driver's simhash_md5 oracle row never exercises empty/whitespace-only/
+    short docs. Pin the Spark-vs-DuckDB agreement there explicitly: both
+    must tokenize ''/'   ' to a single empty token (split-after-trim
+    semantics) and produce identical md5-driven signatures."""
+    import duckdb
+
+    md5h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    got = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash_signatures(
+            _pathological_df(spark), bits=60, hash_fn=md5h
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in PATHOLOGICAL_DOCS)
+        + ") AS t(doc_id, text)"
+    )
+    want = dict(
+        con.execute(
+            """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, wl[i] AS tok
+              FROM w, UNNEST(range(1, len(wl) + 1)) AS t(i)
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM tok
+            ),
+            bit_sums AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1
+                              THEN 1 ELSE -1 END) AS s
+              FROM h, UNNEST(range(0, 60)) AS t(b)
+              GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bit_sums GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert set(got) == {i for i, _ in PATHOLOGICAL_DOCS}  # every doc signed
+
+
+def test_minhash_md5_oracle_on_pathological_texts(spark):
+    """MinHash drops docs below the shingle width (n=3) — in BOTH engines,
+    and identically for messy separators. Docs 7/8 share normalized word
+    sequences, so their md5-seeded minima must agree exactly."""
+    import duckdb
+
+    md5h = lambda c, k: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f"{k}:"), c)), 1, 15), 16, 10
+    ).cast("long")
+    got = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures(
+            _pathological_df(spark), num_hashes=8,
+            max_shingle_freq=None, hash_fn=md5h,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in PATHOLOGICAL_DOCS)
+        + ") AS t(doc_id, text)"
+    )
+    rows = con.execute(
+        """
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+          FROM w, UNNEST(range(1, GREATEST(len(wl) - 1, 1))) AS t(i)
+        ),
+        mh AS (
+          SELECT doc_id, k,
+                 MIN(CAST(('0x' || substring(
+                       md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15))
+                     AS BIGINT)) AS mn
+          FROM sh, UNNEST(range(0, 8)) AS t(k)
+          GROUP BY 1, 2
+        )
+        SELECT doc_id, array_agg(mn ORDER BY k) AS sig FROM mh GROUP BY 1
+        """
+    ).fetchall()
+    want = {doc_id: list(sig) for doc_id, sig in rows}
+    assert got == want
+    # short docs (< 3 words) have no shingles hence no signature — in both
+    assert set(got) == {6, 7, 8}
+    # messy separators normalize to the same words -> identical signatures
+    assert got[7] == got[8]

@@ -1,11 +1,14 @@
 """Local stand-in for the driver's correctness gate: run every queries()
-entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
-row-count + sorted value content. Usage: python tools/check_oracles.py [name ...]
+entry on Spark and its oracle_sql() twin on DuckDB, compare row-count +
+sorted value content. Usage: python tools/check_oracles.py [name ...]
+Env: SPARK_GRAFT_ORACLE_SF overrides the sf dir (default sf0.01 — the
+driver's gate scale; sf0.1 catches scale-dependent divergence).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -13,7 +16,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
