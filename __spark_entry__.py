@@ -22,7 +22,10 @@ from jsonschema_spark.engine import validate_rows, validate_table
 from jsonschema_spark.passes.stats import column_stats
 from jsonschema_spark.passes.uniqueness import duplicate_keys
 from jsonschema_spark.passes.referential import orphan_rows
-from jsonschema_spark.passes.drift import DriftColumn, observed_histograms, baseline_profile, drift_metrics
+from jsonschema_spark.passes.drift import (
+    DriftColumn, observed_histograms, baseline_profile, baseline_from_observed,
+    drift_metrics,
+)
 from jsonschema_spark.operators import dedup, similarity, text as T
 
 
@@ -238,7 +241,9 @@ FROM events GROUP BY 1, 2
 def q_psi_ks_events(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     obs = observed_histograms(ev, _EVENTS_DC, part_col="event_type")
-    base = baseline_profile(ev, _EVENTS_DC)
+    # self-drift: baseline = table-wide distribution, derived from the tiny
+    # observed-histogram table (one fact scan, not two; identical values)
+    base = baseline_from_observed(obs)
     m = drift_metrics(obs, base)
     return m.select(
         F.col("part_id").alias("event_type"),
@@ -301,7 +306,7 @@ _WB_DOCS = "CAST(CASE WHEN n_chars < 0.0 THEN 0 WHEN n_chars >= 1024.0 THEN 33 E
 def q_ks_documents(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     obs = observed_histograms(docs, _DOCS_DC, part_col="lang")
-    base = baseline_profile(docs, _DOCS_DC)
+    base = baseline_from_observed(obs)
     return drift_metrics(obs, base).select(
         F.col("part_id").alias("lang"), F.round("ks_d", 6).alias("ks_d"), F.col("n")
     )

@@ -142,24 +142,38 @@ def main() -> None:
 
     n_fid = int(os.environ.get("SPARK_GRAFT_BENCH_FIDELITY_IMAGES", "200000"))
     fcfg = FX.FixtureConfig(n=n_fid, n_parts=64, with_bytes=True)
-    fid_dir = os.path.join(BENCH_DATA, f"images_bytes_{n_fid}")
+    # Hive-partitioned by part_id so the P5 two-stage sample's partition
+    # predicate prunes FILES — row-sampling alone would read every bytes
+    # page of the table to decode 4% of it (at north scale: a full scan of
+    # the heaviest column).
+    fid_dir = os.path.join(BENCH_DATA, f"images_bytes_{n_fid}_p")
     if not os.path.exists(os.path.join(fid_dir, "_SUCCESS")):
-        FX.generate_images_df(spark, fcfg).write.mode("overwrite").parquet(fid_dir)
+        FX.generate_images_df(spark, fcfg).write.mode("overwrite") \
+            .partitionBy("part_id").parquet(fid_dir)
     fid_df = spark.read.parquet(fid_dir)
     # sampled P5 slice = 0.1% of the flagship row count (the north-scale
-    # policy: fidelity is sampled, fraction-proportional cost)
+    # policy: fidelity is sampled, fraction-proportional cost); cluster
+    # sampling keeps ~1/6 of partitions, rows resampled inside to hold the
+    # overall fraction
     fid_fraction = min(1.0, (0.001 * N_IMAGES) / n_fid)
+    fid_parts_fraction = 1 / 6
 
     from concurrent.futures import ThreadPoolExecutor
+
+    # Dim tables are inputs, built ONCE like production (loading a dim
+    # registry per run would bill fixture generation — incl. a driver-side
+    # numpy plant-selection pass — to every timed rep).
+    dims = {"dim_fmt": FX.dim_fmt_df(spark),
+            "dim_license": FX.dim_license_df(spark, cfg)}
 
     def run_suite() -> None:
         res = validate_table(
             fact, FX.SPEC_IMAGES,
-            dims={"dim_fmt": FX.dim_fmt_df(spark),
-                  "dim_license": FX.dim_license_df(spark, cfg)},
+            dims=dims,
             baseline=baseline, drift_columns=FX.drift_columns(),
             fidelity_fn=lambda _: fidelity_violations(
-                fid_df, fcfg, fraction=fid_fraction),
+                fid_df, fcfg, fraction=fid_fraction,
+                parts_fraction=fid_parts_fraction),
         )
         outs = [df for df in (res.violations, res.verdicts, res.stats)
                 if df is not None]

@@ -115,6 +115,13 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     #               generator layout knobs below).
     ap.add_argument("--sample-fidelity", type=float, default=None,
                     help="sampling fraction for the decoded-pixel fidelity pass")
+    ap.add_argument("--fidelity-parts-fraction", type=float, default=None,
+                    help="two-stage cluster sample: keep this fraction of "
+                         "partitions (hash-pruned at the scan on part-"
+                         "partitioned tables), row-sample inside so the "
+                         "overall fraction is unchanged; rotate --fidelity-"
+                         "seed across scheduled runs for coverage")
+    ap.add_argument("--fidelity-seed", type=int, default=7)
     ap.add_argument("--fidelity-mode", choices=["generator", "phash", "ref"],
                     default=None,
                     help="default: ref when --fidelity-ref is given, else "
@@ -164,9 +171,11 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         from .passes import fidelity as P5
 
         mode = args.fidelity_mode or ("ref" if args.fidelity_ref else "generator")
+        pf, fseed = args.fidelity_parts_fraction, args.fidelity_seed
         if mode == "phash":
             fidelity_fn = lambda df: P5.fidelity_violations_phash(  # noqa: E731
-                df, fraction=args.sample_fidelity, part_col=args.part_col
+                df, fraction=args.sample_fidelity, part_col=args.part_col,
+                parts_fraction=pf, seed=fseed,
             )
         elif mode == "ref":
             if not args.fidelity_ref:
@@ -175,6 +184,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
             fidelity_fn = lambda df: P5.fidelity_violations_ref(  # noqa: E731
                 df, ref, fraction=args.sample_fidelity,
                 part_col=args.part_col, key_col=args.key_col,
+                parts_fraction=pf, seed=fseed,
             )
         else:
             from . import fixtures as FX
@@ -183,7 +193,8 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
                 n=0, n_parts=args.fidelity_nparts, drift_part=args.fidelity_driftpart
             )
             fidelity_fn = lambda df: P5.fidelity_violations(  # noqa: E731
-                df, fcfg, fraction=args.sample_fidelity, part_col=args.part_col
+                df, fcfg, fraction=args.sample_fidelity, part_col=args.part_col,
+                parts_fraction=pf, seed=fseed,
             )
 
     res = validate_table(

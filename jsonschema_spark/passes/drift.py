@@ -77,6 +77,21 @@ def baseline_profile(df: DataFrame, cols: list[DriftColumn]) -> DataFrame:
     )
 
 
+def baseline_from_observed(obs: DataFrame) -> DataFrame:
+    """(col, bucket, p_expected) derived from an observed-histogram table —
+    for self-drift checks where the baseline IS the table-wide distribution
+    (each partition tested against the whole table). Algebraically identical
+    to ``baseline_profile`` on the same fact table + drift columns: the
+    global histogram is the per-partition histogram summed over partitions —
+    but costs one aggregation over the TINY histogram table instead of a
+    second full fact scan."""
+    hist = obs.groupBy("col", "bucket").agg(F.sum("n").alias("n"))
+    tot = Window.partitionBy("col")
+    return hist.select(
+        "col", "bucket", (F.col("n") / F.sum("n").over(tot)).alias("p_expected")
+    )
+
+
 def _kolmogorov_pvalue(lam: Column, terms: int = 40) -> Column:
     """Asymptotic two-sided KS p-value: 2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}."""
     s = reduce(

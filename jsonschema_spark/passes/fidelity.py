@@ -32,6 +32,40 @@ FIDELITY_SCHEMA = (
 )
 
 
+def sampled_slice(
+    df: DataFrame,
+    fraction: float,
+    seed: int,
+    part_col: str,
+    parts_fraction: float | None = None,
+) -> DataFrame:
+    """The fidelity sample. Plain ``df.sample(fraction)`` keeps the DECODE
+    cost fraction-proportional but not the IO: Parquet/Iceberg must still
+    read every ``bytes`` page because a random row predicate prunes nothing
+    — at 10^12 rows that is a full scan of the heaviest column to decode
+    0.1%% of it.
+
+    ``parts_fraction`` turns this into a two-stage cluster sample: keep a
+    deterministic hash-slice of the PARTITIONS (``xxhash64(part_id, seed)``
+    — a deterministic predicate on the partition column, so the source
+    prunes unselected partitions at file level), then row-sample inside the
+    kept partitions at ``fraction / parts_fraction`` so the OVERALL row
+    fraction is unchanged. IO becomes fraction-proportional; the trade is
+    cluster sampling (unsampled partitions get no fidelity verdict this
+    run) — production rotates ``seed`` per run so coverage accumulates
+    across scheduled runs."""
+    if parts_fraction is not None and parts_fraction < 1.0:
+        dom = 1 << 16
+        df = df.where(
+            F.pmod(F.xxhash64(F.col(part_col), F.lit(seed)), F.lit(dom))
+            < int(dom * parts_fraction)
+        )
+        fraction = min(1.0, fraction / parts_fraction)
+    if fraction >= 1.0:
+        return df
+    return df.sample(fraction=fraction, seed=seed)
+
+
 def phash_pandas(bytes_s: pd.Series, fmt_s: pd.Series, w_s: pd.Series, h_s: pd.Series) -> pd.Series:
     """Recompute the 64-bit perceptual hash from encoded bytes (B27).
 
@@ -73,6 +107,7 @@ def fidelity_violations(
     fraction: float = 0.01,
     seed: int = 7,
     part_col: str = "part_id",
+    parts_fraction: float | None = None,
 ) -> DataFrame:
     """Sampled fidelity: decode(bytes) vs the deterministic generator's
     pixels (PSNR ≥ 40 dB; lossless formats bit-exact) + caption equality.
@@ -80,8 +115,9 @@ def fidelity_violations(
     Rows whose image_id does not parse back to a generator index (i.e. the
     planted bad-id rows) are reported as unverifiable fidelity violations.
     """
-    sampled = df.select(part_col, "image_id", "bytes", "fmt", "w", "h", "caption").sample(
-        fraction=fraction, seed=seed
+    sampled = sampled_slice(
+        df.select(part_col, "image_id", "bytes", "fmt", "w", "h", "caption"),
+        fraction, seed, part_col, parts_fraction,
     )
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,6 +160,7 @@ def fidelity_violations_phash(
     seed: int = 7,
     part_col: str = "part_id",
     phash_col: str = "phash",
+    parts_fraction: float | None = None,
 ) -> DataFrame:
     """Reference-FREE fidelity: recompute the 64-bit perceptual hash from the
     encoded ``bytes`` and compare against the table's own stored ``phash``
@@ -134,9 +171,11 @@ def fidelity_violations_phash(
     A mismatch means the stored bytes no longer decode to the pixels the
     phash was computed from (corruption, re-encode, wrong association).
     Undecodable bytes surface as decode-error violations."""
-    sampled = df.select(
-        part_col, "image_id", "bytes", "fmt", "w", "h", F.col(phash_col).alias("_ph")
-    ).sample(fraction=fraction, seed=seed)
+    sampled = sampled_slice(
+        df.select(part_col, "image_id", "bytes", "fmt", "w", "h",
+                  F.col(phash_col).alias("_ph")),
+        fraction, seed, part_col, parts_fraction,
+    )
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -167,6 +206,7 @@ def fidelity_violations_ref(
     seed: int = 7,
     part_col: str = "part_id",
     key_col: str = "image_id",
+    parts_fraction: float | None = None,
 ) -> DataFrame:
     """Reference-TABLE fidelity (the BASELINE.json per-row invariant run
     against stored ground truth): for a sampled slice, decode the fact
@@ -179,9 +219,10 @@ def fidelity_violations_ref(
     the key that AQE resolves (broadcast when the sample is small, which
     at production fractions it is). Rows with no reference row are
     unverifiable -> violations."""
-    sampled = df.select(
-        part_col, key_col, "bytes", "fmt", "w", "h", "caption"
-    ).sample(fraction=fraction, seed=seed)
+    sampled = sampled_slice(
+        df.select(part_col, key_col, "bytes", "fmt", "w", "h", "caption"),
+        fraction, seed, part_col, parts_fraction,
+    )
     r = ref.select(
         F.col(key_col).alias("r_key"), F.col("bytes").alias("r_bytes"),
         F.col("fmt").alias("r_fmt"), F.col("w").alias("r_w"),

@@ -472,3 +472,61 @@ def test_minhash_md5_oracle_on_pathological_texts(spark):
     assert set(got) == {6, 7, 8}
     # messy separators normalize to the same words -> identical signatures
     assert got[7] == got[8]
+
+
+# ---------------------- fidelity two-stage sample: partition-pruned IO
+
+def test_fidelity_two_stage_sample_prunes_partitions(spark, tmp_path):
+    """At north scale a plain row-sample still READS every bytes page (a
+    random predicate prunes nothing). The two-stage cluster sample's
+    partition predicate must reach the scan as a PartitionFilter on a
+    part_id-partitioned table, violations must come only from kept
+    partitions, and the within-partition fraction must be rescaled so the
+    overall row fraction is preserved in expectation."""
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.passes.fidelity import fidelity_violations, sampled_slice
+
+    cfg = FX.FixtureConfig(n=4000, n_parts=16, with_bytes=True)
+    path = str(tmp_path / "imgs")
+    FX.generate_images_df(spark, cfg).write.mode("overwrite") \
+        .partitionBy("part_id").parquet(path)
+    df = spark.read.parquet(path)
+
+    s = sampled_slice(
+        df.select("part_id", "image_id", "bytes", "fmt", "w", "h", "caption"),
+        fraction=0.5, seed=7, part_col="part_id", parts_fraction=0.25,
+    )
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "pmod(xxhash64(part_id" in scan  # pruned at the source, not post-scan
+    kept = {r[0] for r in s.select("part_id").distinct().collect()}
+    assert 0 < len(kept) < 16  # a strict subset of partitions
+
+    v = fidelity_violations(df, cfg, fraction=0.5, parts_fraction=0.25)
+    v_parts = {r[0] for r in v.select("part_id").distinct().collect()}
+    assert v_parts <= kept
+
+    # within-partition fraction is rescaled to fraction/parts_fraction so the
+    # OVERALL fraction is preserved in expectation: at 0.05 overall with 1/4
+    # of partitions kept, half the rows of each kept partition are sampled
+    s2 = sampled_slice(
+        df.select("part_id", "image_id", "bytes", "fmt", "w", "h", "caption"),
+        fraction=0.05, seed=7, part_col="part_id", parts_fraction=0.25,
+    )
+    rows_kept = df.where(F.col("part_id").isin(*kept)).count()
+    got = s2.count()
+    want = (0.05 / 0.25) * rows_kept
+    assert abs(got - want) < 0.35 * want
+
+
+def test_sampled_slice_no_parts_fraction_is_plain_sample(spark):
+    """parts_fraction=None keeps the original single-stage semantics."""
+    from jsonschema_spark.passes.fidelity import sampled_slice
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).cast("int").alias("part_id"), "id"
+    )
+    s = sampled_slice(df, fraction=0.3, seed=1, part_col="part_id")
+    assert s.select("part_id").distinct().count() == 10  # all partitions kept
+    n = s.count()
+    assert abs(n - 300) < 100
