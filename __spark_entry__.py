@@ -701,6 +701,61 @@ FROM bit_sums GROUP BY 1
 """
 
 
+def q_simhash_near_dups_md5_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """ORACLE-BACKED proof of the FULL simhash_near_duplicates composition
+    (signature aggregation -> block-rotation pigeonhole pair search): the
+    identical Spark pipeline driven by the md5-derived 60-bit token hash,
+    while DuckDB recomputes every signature AND brute-forces all pairs at
+    Hamming <= 3. A value match proves the pigeonhole equi-join finds
+    exactly the brute-force pair set; production differs only in the hash
+    primitive (xxhash64). 50 planted exact copies make it non-vacuous."""
+    md5h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = (
+        docs.orderBy("doc_id").limit(50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return dedup.simhash_near_duplicates(
+        docs.unionByName(copies), max_hamming=3, bits=60, hash_fn=md5h
+    )
+
+
+SQL_SIMHASH_NEAR_DUPS_MD5_DOCUMENTS = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50
+  )
+),
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl FROM docs
+),
+tok AS (
+  SELECT doc_id, wl[i] AS tok FROM w, UNNEST(range(1, len(wl) + 1)) AS t(i)
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok
+),
+bit_sums AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, UNNEST(range(0, 60)) AS t(b)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id AS id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bit_sums GROUP BY 1
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_minhash_md5_candidates_documents(spark: SparkSession, sf: str) -> DataFrame:
     """ORACLE-BACKED proof of MinHash signature + LSH banding (VERDICT r2
     #6): the SAME one-aggregation-64-minima + banded-equi-join plan as the
@@ -1051,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_embeddings": q_lsh_recall_embeddings,
         "ivf_recall_embeddings": q_ivf_recall_embeddings,
         "simhash_md5_documents": q_simhash_md5_documents,
+        "simhash_near_dups_md5_documents": q_simhash_near_dups_md5_documents,
         "minhash_md5_candidates_documents": q_minhash_md5_candidates_documents,
         "fidelity_images": q_fidelity_images,
         "langid_documents": q_langid_documents,
@@ -1090,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall_embeddings": SQL_LSH_RECALL_EMBEDDINGS,
         "ivf_recall_embeddings": SQL_IVF_RECALL_EMBEDDINGS,
         "simhash_md5_documents": SQL_SIMHASH_MD5_DOCUMENTS,
+        "simhash_near_dups_md5_documents": SQL_SIMHASH_NEAR_DUPS_MD5_DOCUMENTS,
         "minhash_md5_candidates_documents": SQL_MINHASH_MD5_CANDIDATES_DOCUMENTS,
         "langid_documents": SQL_LANGID_DOCUMENTS,
         "quality_documents": SQL_QUALITY_DOCUMENTS,

@@ -332,12 +332,15 @@ def hamming_near_duplicates(
 
 
 def simhash_near_duplicates(
-    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 64, hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(SimHash) ≤ max_hamming — SimHash
-    signatures fed through the exhaustive block-rotation pair search."""
+    signatures fed through the exhaustive block-rotation pair search.
+    ``bits``/``hash_fn`` thread to simhash_signatures so an md5-derived
+    hash can drive the identical composition for oracle verification."""
     return hamming_near_duplicates(
-        simhash_signatures(df, id_col, text_col), max_hamming, "simhash"
+        simhash_signatures(df, id_col, text_col, bits, hash_fn), max_hamming, "simhash"
     )
 
 
@@ -373,7 +376,7 @@ def embedding_near_duplicates(
     ``method="exact"``: the brute-force O(n²) theta-join — correctness
     oracle for tests and small inputs ONLY (10^9 vectors → 10^18 pairs).
     """
-    from .similarity import _norm, _dot, _hyperplanes, lsh_bucket, resolve_dim
+    from .similarity import _norm, _dot, _hyperplanes, lsh_buckets_all, resolve_dim
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -392,12 +395,9 @@ def embedding_near_duplicates(
                     F.round("cos", 6).alias("cos"))
         )
 
-    entries = []
-    for t in range(tables):
-        hp = _hyperplanes(dim, planes, seed + t)
-        entries.append(F.struct(F.lit(t).alias("tbl"),
-                                lsh_bucket(F.col("v"), hp).alias("bkt")))
-    bk = v.select("id", "v", "nrm", F.explode(F.array(*entries)).alias("e")).select(
+    all_planes = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
+    bk = v.select("id", "v", "nrm",
+                  F.explode(lsh_buckets_all("v", all_planes)).alias("e")).select(
         "id", "v", "nrm", "e.tbl", "e.bkt"
     )
     a, b = bk.alias("a"), bk.alias("b")

@@ -101,6 +101,48 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bits
 
 
+def lsh_buckets_all(vec_col_sql: str, all_planes: list[list[list[float]]]) -> Column:
+    """Packed bucket signatures for EVERY hash table in one expression:
+    ``array<struct<tbl:int, bkt:bigint>>`` from a ``tables x planes x dim``
+    hyperplane tensor.
+
+    Same math as ``lsh_bucket`` per table, but the whole computation —
+    nested hyperplane literal included — is built as ONE ``F.expr`` string:
+    the per-``F.lit`` construction costs tables x planes x dim py4j round
+    trips (thousands of driver<->JVM calls, seconds of plan-construction
+    wall before any task runs) and emits an aggregate-expression forest;
+    this form is a single driver call parsed JVM-side, and the per-row work
+    is identical element arithmetic under higher-order functions.
+
+    ``vec_col_sql``: SQL identifier/expression for the vector column."""
+    tensor = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) for x in plane) + ")"
+            for plane in tbl
+        ) + ")"
+        for tbl in all_planes
+    ) + ")"
+    n_tables = len(all_planes)
+    sql = f"""
+    zip_with(
+      sequence(0, {n_tables - 1}),
+      transform(
+        CAST({tensor} AS array<array<array<double>>>),
+        t -> aggregate(
+               zip_with(
+                 transform(t, p -> IF(aggregate(zip_with({vec_col_sql}, p,
+                                                         (x, y) -> x * y),
+                                                0D, (a, x) -> a + x) >= 0D,
+                                      1L, 0L)),
+                 sequence(0, size(t) - 1),
+                 (b, i) -> shiftleft(b, CAST(i AS INT))),
+               0L, (a, x) -> a + x)),
+      (i, b) -> struct(CAST(i AS INT) AS tbl, b AS bkt)
+    )
+    """
+    return F.expr(sql)
+
+
 def cosine_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -124,15 +166,13 @@ def cosine_lsh_topk(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     ).withColumn("qnrm", _norm(F.col("qv")))
 
-    cb_entries, qb_entries = [], []
-    for t in range(tables):
-        hp = _hyperplanes(dim, planes, seed + t)
-        cb_entries.append(F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col("cv"), hp).alias("bkt")))
-        qb_entries.append(F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col("qv"), hp).alias("bkt")))
-    cb = c.select("nid", "cv", "cnrm", F.explode(F.array(*cb_entries)).alias("e")).select(
+    all_planes = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
+    cb = c.select("nid", "cv", "cnrm",
+                  F.explode(lsh_buckets_all("cv", all_planes)).alias("e")).select(
         "nid", "cv", "cnrm", "e.tbl", "e.bkt"
     )
-    qb = q.select("qid", "qv", "qnrm", F.explode(F.array(*qb_entries)).alias("e")).select(
+    qb = q.select("qid", "qv", "qnrm",
+                  F.explode(lsh_buckets_all("qv", all_planes)).alias("e")).select(
         "qid", "qv", "qnrm", "e.tbl", "e.bkt"
     )
     cand = (
