@@ -2,7 +2,7 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (37 queries, 31 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (41 queries, 34 oracles).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
@@ -296,6 +296,113 @@ SELECT event_type,
   ROUND(MAX(ABS(cdf_obs - cdf_exp)), 6) AS ks_d,
   CAST(MAX(n_tot) AS BIGINT) AS n
 FROM c GROUP BY 1
+"""
+
+
+def q_divergence_events(spark: SparkSession, sf: str) -> DataFrame:
+    """B16/B19/B20 companion — the wider histogram-distance family
+    (chi² + Wilson–Hilferty p, Jensen–Shannon, total-variation, Hellinger,
+    1-Wasserstein) per event_type, self-drift baseline. Same single-scan
+    histogram input as psi_ks_events; fully SQL-expressible → oracle-backed."""
+    from jsonschema_spark.passes.drift import divergence_metrics
+
+    ev = _t(spark, sf, "events")
+    obs = observed_histograms(ev, _EVENTS_DC, part_col="event_type")
+    base = baseline_from_observed(obs)
+    m = divergence_metrics(obs, base)
+    return m.select(
+        F.col("part_id").alias("event_type"),
+        F.round("chi2", 6).alias("chi2"),
+        F.col("dof"),
+        F.round("chi2_p", 6).alias("chi2_p"),
+        F.round("jsd", 6).alias("jsd"),
+        F.round("tvd", 6).alias("tvd"),
+        F.round("hellinger", 6).alias("hellinger"),
+        F.round("emd", 6).alias("emd"),
+        F.col("n"),
+    )
+
+
+# the A&S 7.1.26 erf polynomial + Wilson–Hilferty map, spelled identically
+# to jsonschema_spark.passes.drift.chi2_pvalue so both engines agree to the
+# 6-decimal reporting precision.
+_SQL_NORMAL_SF = """
+  0.5 * (1.0 - (CASE WHEN z < 0 THEN -1.0 ELSE 1.0 END) *
+    (1.0 - (0.254829592 * tt - 0.284496736 * tt*tt + 1.421413741 * tt*tt*tt
+            - 1.453152027 * tt*tt*tt*tt + 1.061405429 * tt*tt*tt*tt*tt)
+           * EXP(-(ABS(z)/1.4142135623730951)*(ABS(z)/1.4142135623730951))))
+"""
+
+SQL_DIVERGENCE_EVENTS = f"""
+WITH obs AS (
+  SELECT event_type, {_WB} AS bucket, count(*) AS n FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT {_WB} AS bucket, count(*) / (SELECT count(*) FROM events) AS p_expected
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT p.event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM obs) p
+  CROSS JOIN (SELECT bucket FROM obs UNION SELECT bucket FROM base) b
+),
+j AS (
+  SELECT g.event_type, g.bucket,
+         COALESCE(o.n, 0) AS n, COALESCE(base.p_expected, 0.0) AS p_expected
+  FROM grid g
+  LEFT JOIN obs o ON g.event_type = o.event_type AND g.bucket = o.bucket
+  LEFT JOIN base ON g.bucket = base.bucket
+),
+t AS (
+  SELECT *,
+    SUM(n) OVER (PARTITION BY event_type) AS n_tot,
+    n * 1.0 / GREATEST(SUM(n) OVER (PARTITION BY event_type), 1) AS p_obs,
+    p_expected / GREATEST(SUM(p_expected) OVER (PARTITION BY event_type), 1e-6) AS q_n
+  FROM j
+),
+c AS (
+  SELECT *,
+    SUM(p_obs) OVER (PARTITION BY event_type
+      ORDER BY COALESCE(TRY_CAST(bucket AS DOUBLE), 1e308), bucket
+      ROWS UNBOUNDED PRECEDING) AS cdf_obs,
+    SUM(q_n) OVER (PARTITION BY event_type
+      ORDER BY COALESCE(TRY_CAST(bucket AS DOUBLE), 1e308), bucket
+      ROWS UNBOUNDED PRECEDING) AS cdf_exp
+  FROM t
+),
+a AS (
+  SELECT event_type,
+    SUM((n - n_tot * GREATEST(q_n, 1e-6)) * (n - n_tot * GREATEST(q_n, 1e-6))
+        / (n_tot * GREATEST(q_n, 1e-6))) AS chi2,
+    GREATEST(SUM(CASE WHEN p_expected > 0 THEN 1 ELSE 0 END) - 1, 1) AS dof,
+    SUM(CASE WHEN p_obs > 0 THEN 0.5 * p_obs * LN(p_obs / (0.5 * (p_obs + q_n))) ELSE 0.0 END
+      + CASE WHEN q_n > 0 THEN 0.5 * q_n * LN(q_n / (0.5 * (p_obs + q_n))) ELSE 0.0 END) AS jsd,
+    0.5 * SUM(ABS(p_obs - q_n)) AS tvd,
+    SQRT(0.5 * SUM((SQRT(p_obs) - SQRT(q_n)) * (SQRT(p_obs) - SQRT(q_n)))) AS hellinger,
+    SUM(ABS(cdf_obs - cdf_exp)) AS emd,
+    MAX(n_tot) AS n
+  FROM c GROUP BY 1
+),
+wh AS (
+  SELECT *,
+    (POW(chi2 / GREATEST(dof * 1.0, 1.0), 1.0/3.0)
+      - (1.0 - 2.0 / (9.0 * GREATEST(dof * 1.0, 1.0))))
+      / SQRT(2.0 / (9.0 * GREATEST(dof * 1.0, 1.0))) AS z
+  FROM a
+),
+whp AS (
+  SELECT *, 1.0 / (1.0 + 0.3275911 * (ABS(z)/1.4142135623730951)) AS tt FROM wh
+)
+SELECT event_type,
+  ROUND(chi2, 6) AS chi2,
+  CAST(dof AS BIGINT) AS dof,
+  ROUND({_SQL_NORMAL_SF}, 6) AS chi2_p,
+  ROUND(jsd, 6) AS jsd,
+  ROUND(tvd, 6) AS tvd,
+  ROUND(hellinger, 6) AS hellinger,
+  ROUND(emd, 6) AS emd,
+  CAST(n AS BIGINT) AS n
+FROM whp
 """
 
 
@@ -1084,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_lineitem_orders": q_referential_lineitem_orders,
         "hist_events": q_hist_events,
         "psi_ks_events": q_psi_ks_events,
+        "divergence_events": q_divergence_events,
         "ks_documents": q_ks_documents,
         "array_embeddings": q_array_embeddings,
         "json_events": q_json_events,
@@ -1129,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_lineitem_orders": SQL_REFERENTIAL_LINEITEM_ORDERS,
         "hist_events": SQL_HIST_EVENTS,
         "psi_ks_events": SQL_PSI_KS_EVENTS,
+        "divergence_events": SQL_DIVERGENCE_EVENTS,
         "ks_documents": SQL_KS_DOCUMENTS,
         "array_embeddings": SQL_ARRAY_EMBEDDINGS,
         "json_events": SQL_JSON_EVENTS,

@@ -104,12 +104,12 @@ def _kolmogorov_pvalue(lam: Column, terms: int = 40) -> Column:
     return F.greatest(F.least(s, F.lit(1.0)), F.lit(0.0))
 
 
-def drift_metrics(obs: DataFrame, baseline: DataFrame) -> DataFrame:
-    """Per (part_id, col): PSI, KS D-statistic, asymptotic KS p-value, n.
-
-    ``obs``: (part_id, col, bucket, n); ``baseline``: (col, bucket, p_expected).
-    Bucket order for the KS CDF: numeric bucket index (cast) else lexical.
-    """
+def _histogram_grid(obs: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Dense (part_id, col, bucket) grid with per-cell n, p_expected, n_tot,
+    p_obs, cdf_obs, cdf_exp — the shared prep for every histogram-distance
+    metric. Bucket order for the CDFs: numeric bucket index (cast) else
+    lexical. All joins are broadcast: the grid is bounded by
+    partitions × columns × buckets, independent of fact row count."""
     parts = obs.select("part_id").distinct()
     buckets = (
         obs.select("col", "bucket").union(baseline.select("col", "bucket")).distinct()
@@ -133,11 +133,19 @@ def drift_metrics(obs: DataFrame, baseline: DataFrame) -> DataFrame:
         .orderBy(order, F.col("bucket"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    j = j.withColumn("cdf_obs", F.sum("p_obs").over(wcdf)).withColumn(
+    return j.withColumn("cdf_obs", F.sum("p_obs").over(wcdf)).withColumn(
         "cdf_exp",
         F.sum(F.col("p_expected") / F.greatest(F.sum("p_expected").over(wn), F.lit(EPS))).over(wcdf),
     )
 
+
+def drift_metrics(obs: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per (part_id, col): PSI, KS D-statistic, asymptotic KS p-value, n.
+
+    ``obs``: (part_id, col, bucket, n); ``baseline``: (col, bucket, p_expected).
+    Bucket order for the KS CDF: numeric bucket index (cast) else lexical.
+    """
+    j = _histogram_grid(obs, baseline)
     p = F.greatest(F.col("p_obs"), F.lit(EPS))
     q = F.greatest(F.col("p_expected"), F.lit(EPS))
     agg = j.groupBy("part_id", "col").agg(
@@ -148,6 +156,85 @@ def drift_metrics(obs: DataFrame, baseline: DataFrame) -> DataFrame:
     sqrt_n = F.sqrt(F.col("n").cast("double"))
     lam = (sqrt_n + F.lit(0.12) + F.lit(0.11) / sqrt_n) * F.col("ks_d")
     return agg.withColumn("ks_p", _kolmogorov_pvalue(lam))
+
+
+def _std_normal_sf(z: Column) -> Column:
+    """Upper-tail standard normal survival 1−Φ(z), via the Abramowitz &
+    Stegun 7.1.26 erf polynomial (|err| < 1.5e-7 — well under the 1e-6
+    reporting precision). Pure Column arithmetic; the DuckDB oracle twin
+    (``__spark_entry__._SQL_NORMAL_SF``) spells the identical formula so
+    both engines agree to reporting precision."""
+    x = F.abs(z) / F.lit(1.4142135623730951)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    erf_abs = F.lit(1.0) - poly * F.exp(-x * x)
+    erf = F.when(z < 0, -erf_abs).otherwise(erf_abs)
+    return F.lit(0.5) * (F.lit(1.0) - erf)
+
+
+def chi2_pvalue(chi2: Column, dof: Column) -> Column:
+    """Upper-tail chi-squared p-value via the Wilson–Hilferty cube-root
+    normal approximation: (X²/k)^(1/3) is ≈ N(1−2/(9k), 2/(9k)). Accurate
+    to ~1e-3 for k ≥ 3 (pinned vs the exact even-dof closed form in
+    tests/test_round3.py); no scipy per SURVEY §0."""
+    k = F.greatest(dof.cast("double"), F.lit(1.0))
+    mu = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k)
+    sd = F.sqrt(F.lit(2.0) / (F.lit(9.0) * k))
+    z = (F.pow(chi2 / k, F.lit(1.0 / 3.0)) - mu) / sd
+    return _std_normal_sf(z)
+
+
+def divergence_metrics(obs: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per (part_id, col): the wider histogram-distance family beyond KS/PSI —
+    chi-squared statistic + dof + Wilson–Hilferty p-value, Jensen–Shannon
+    divergence (nats), total-variation distance, Hellinger distance, and
+    1-Wasserstein (earth-mover, unit bucket width). Same single-scan
+    histogram inputs as ``drift_metrics``; everything below runs on the tiny
+    (partitions × columns × buckets) grid, never re-touching fact data.
+
+    Conventions (mirrored exactly by the DuckDB oracle):
+    - expected counts use the EPS-smoothed normalized baseline, so chi2 is
+      finite when an observed bucket is absent from the baseline;
+    - dof = (#buckets with p_expected > 0) − 1, clamped to ≥1;
+    - JSD/TVD/Hellinger compare p_obs against the normalized baseline;
+    - EMD sums |cdf_obs − cdf_exp| over buckets (unit spacing), which for
+      equal-width numeric buckets is Wasserstein-1 in bucket units.
+    """
+    j = _histogram_grid(obs, baseline)
+    wn = Window.partitionBy("part_id", "col")
+    q_n = F.col("p_expected") / F.greatest(F.sum("p_expected").over(wn), F.lit(EPS))
+    j = j.withColumn("q_n", q_n)
+
+    p = F.col("p_obs")
+    q = F.col("q_n")
+    qs = F.greatest(q, F.lit(EPS))          # smoothed expected prob
+    e_cnt = F.col("n_tot") * qs             # smoothed expected count
+    m = F.lit(0.5) * (p + q)                # JSD mixture
+    jsd_term = (
+        F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+
+    agg = j.groupBy("part_id", "col").agg(
+        F.sum((F.col("n") - e_cnt) * (F.col("n") - e_cnt) / e_cnt).alias("chi2"),
+        F.greatest(
+            F.sum(F.when(F.col("p_expected") > 0, 1).otherwise(0)) - F.lit(1), F.lit(1)
+        ).cast("long").alias("dof"),
+        F.sum(jsd_term).alias("jsd"),
+        (F.lit(0.5) * F.sum(F.abs(p - q))).alias("tvd"),
+        F.sqrt(
+            F.lit(0.5) * F.sum((F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q)))
+        ).alias("hellinger"),
+        F.sum(F.abs(F.col("cdf_obs") - F.col("cdf_exp"))).alias("emd"),
+        F.max("n_tot").alias("n"),
+    )
+    return agg.withColumn("chi2_p", chi2_pvalue(F.col("chi2"), F.col("dof")))
 
 
 def drift_verdicts(

@@ -559,3 +559,99 @@ def test_lsh_buckets_all_matches_per_plane_lsh_bucket(spark):
         for r in df.select("vec_id", lsh_buckets_all("v", all_planes).alias("e")).collect()
     }
     assert old == new
+
+
+# -------------------- divergence metrics family (chi2/JSD/TVD/Hellinger/EMD)
+
+def _div_rows(spark, obs_rows, base_rows):
+    from jsonschema_spark.passes.drift import divergence_metrics
+
+    obs = spark.createDataFrame(obs_rows, "part_id string, col string, bucket string, n long")
+    base = spark.createDataFrame(base_rows, "col string, bucket string, p_expected double")
+    return {(r["part_id"], r["col"]): r for r in divergence_metrics(obs, base).collect()}
+
+
+def test_divergence_identical_distributions_near_zero(spark):
+    """obs == baseline ⇒ every distance is ~0 and chi² is tiny (smoothing
+    aside); WH p-value of a near-zero statistic is ~1 (no drift)."""
+    obs = [("p0", "w", str(b), 100) for b in range(1, 5)]
+    base = [("w", str(b), 0.25) for b in range(1, 5)]
+    r = _div_rows(spark, obs, base)[("p0", "w")]
+    assert abs(r["jsd"]) < 1e-9
+    assert abs(r["tvd"]) < 1e-9
+    assert abs(r["hellinger"]) < 1e-6
+    assert abs(r["emd"]) < 1e-9
+    assert r["chi2"] < 1e-6
+    assert r["dof"] == 3
+    assert r["chi2_p"] > 0.99
+
+
+def test_divergence_planted_shift_orders_partitions(spark):
+    """A shifted partition must dominate a matching one on every metric."""
+    base = [("w", str(b), 0.25) for b in range(1, 5)]
+    obs = (
+        [("match", "w", str(b), 250) for b in range(1, 5)]
+        + [("drift", "w", "1", 700), ("drift", "w", "2", 200),
+           ("drift", "w", "3", 80), ("drift", "w", "4", 20)]
+    )
+    rows = _div_rows(spark, obs, base)
+    m, d = rows[("match", "w")], rows[("drift", "w")]
+    for k in ("chi2", "jsd", "tvd", "hellinger", "emd"):
+        assert d[k] > m[k] + 1e-6, k
+    assert d["chi2_p"] < 0.001 < m["chi2_p"]
+
+
+def test_divergence_tvd_hellinger_closed_form(spark):
+    """Two-bucket case with hand-computable values: p=(0.8,0.2) vs
+    q=(0.5,0.5): TVD=0.3, Hellinger=sqrt(1-sqrt(.4)-sqrt(.1)),
+    EMD=|0.8-0.5| (one interior CDF step)."""
+    import math
+
+    obs = [("p0", "w", "1", 80), ("p0", "w", "2", 20)]
+    base = [("w", "1", 0.5), ("w", "2", 0.5)]
+    r = _div_rows(spark, obs, base)[("p0", "w")]
+    assert abs(r["tvd"] - 0.3) < 1e-9
+    hel = math.sqrt(1.0 - math.sqrt(0.8 * 0.5) - math.sqrt(0.2 * 0.5))
+    assert abs(r["hellinger"] - hel) < 1e-9
+    assert abs(r["emd"] - 0.3) < 1e-9  # |cdf diff| at bucket 1 only
+    # JSD closed form, nats
+    def _jsd(p, q):
+        s = 0.0
+        for pi, qi in zip(p, q):
+            mi = 0.5 * (pi + qi)
+            if pi > 0:
+                s += 0.5 * pi * math.log(pi / mi)
+            if qi > 0:
+                s += 0.5 * qi * math.log(qi / mi)
+        return s
+    assert abs(r["jsd"] - _jsd([0.8, 0.2], [0.5, 0.5])) < 1e-9
+
+
+def test_chi2_pvalue_matches_exact_even_dof_survival(spark):
+    """Wilson–Hilferty approximation vs the exact even-dof chi² survival
+    Q(X²>x | 2k) = e^{-x/2} Σ_{i<k} (x/2)^i/i! — within 5e-3 across the
+    range a drift gate cares about (p in ~[1e-3, 0.9])."""
+    import math
+
+    from jsonschema_spark.passes.drift import chi2_pvalue
+
+    cases = [(4.0, 4), (8.0, 8), (12.0, 10), (20.0, 10), (30.0, 16), (9.0, 16)]
+    df = spark.createDataFrame(cases, "x double, k int")
+    got = {(r["x"], r["k"]): r["p"] for r in
+           df.select("x", "k", chi2_pvalue(F.col("x"), F.col("k")).alias("p")).collect()}
+    for x, k in cases:
+        exact = math.exp(-x / 2.0) * sum((x / 2.0) ** i / math.factorial(i)
+                                         for i in range(k // 2))
+        assert abs(got[(x, k)] - exact) < 5e-3, (x, k, got[(x, k)], exact)
+
+
+def test_divergence_chi2_smoothed_when_bucket_missing_from_baseline(spark):
+    """An observed bucket absent from the baseline must yield a FINITE chi²
+    (EPS-smoothed expected count), and dof counts only baseline-supported
+    buckets."""
+    obs = [("p0", "w", "1", 50), ("p0", "w", "9", 50)]  # bucket 9 not in base
+    base = [("w", "1", 0.5), ("w", "2", 0.5)]
+    r = _div_rows(spark, obs, base)[("p0", "w")]
+    assert r["chi2"] == r["chi2"] and r["chi2"] < float("inf")
+    assert r["chi2"] > 1000  # 50 observed vs ~1e-4 expected is a huge signal
+    assert r["dof"] == 1  # two baseline-supported buckets - 1
