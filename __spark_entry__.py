@@ -2,7 +2,7 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (41 queries, 34 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (42 queries, 35 oracles).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
@@ -403,6 +403,85 @@ SELECT event_type,
   ROUND(emd, 6) AS emd,
   CAST(n AS BIGINT) AS n
 FROM whp
+"""
+
+
+def q_quantile_drift_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram-quantile drift (q50/q90/q99 bucket shift) per event_type —
+    exact at bucket resolution with no fact sort and no approx_percentile
+    (jsonschema_spark.passes.drift.quantile_metrics docstring has the scale
+    rationale). Fully SQL-expressible → oracle-backed."""
+    from jsonschema_spark.passes.drift import quantile_metrics
+
+    ev = _t(spark, sf, "events")
+    obs = observed_histograms(ev, _EVENTS_DC, part_col="event_type")
+    base = baseline_from_observed(obs)
+    m = quantile_metrics(obs, base)
+    return m.select(
+        F.col("part_id").alias("event_type"),
+        F.round("q", 2).alias("q"),
+        F.col("b_obs"),
+        F.col("b_exp"),
+        F.col("shift"),
+        F.col("n"),
+    )
+
+
+SQL_QUANTILE_DRIFT_EVENTS = f"""
+WITH obs AS (
+  SELECT event_type, {_WB} AS bucket, count(*) AS n FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT {_WB} AS bucket, count(*) / (SELECT count(*) FROM events) AS p_expected
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT p.event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM obs) p
+  CROSS JOIN (SELECT bucket FROM obs UNION SELECT bucket FROM base) b
+),
+j AS (
+  SELECT g.event_type, g.bucket,
+         COALESCE(o.n, 0) AS n, COALESCE(base.p_expected, 0.0) AS p_expected
+  FROM grid g
+  LEFT JOIN obs o ON g.event_type = o.event_type AND g.bucket = o.bucket
+  LEFT JOIN base ON g.bucket = base.bucket
+),
+t AS (
+  SELECT *,
+    SUM(n) OVER (PARTITION BY event_type) AS n_tot,
+    n * 1.0 / GREATEST(SUM(n) OVER (PARTITION BY event_type), 1) AS p_obs,
+    p_expected / GREATEST(SUM(p_expected) OVER (PARTITION BY event_type), 1e-6) AS q_n
+  FROM j
+),
+c AS (
+  SELECT *,
+    COALESCE(TRY_CAST(bucket AS DOUBLE), 1e308) AS b_ord,
+    SUM(p_obs) OVER (PARTITION BY event_type
+      ORDER BY COALESCE(TRY_CAST(bucket AS DOUBLE), 1e308), bucket
+      ROWS UNBOUNDED PRECEDING) AS cdf_obs,
+    SUM(q_n) OVER (PARTITION BY event_type
+      ORDER BY COALESCE(TRY_CAST(bucket AS DOUBLE), 1e308), bucket
+      ROWS UNBOUNDED PRECEDING) AS cdf_exp
+  FROM t
+),
+a AS (
+  SELECT event_type,
+    MIN(CASE WHEN cdf_obs >= 0.5 - 1e-9 THEN b_ord END) AS qo_50,
+    MIN(CASE WHEN cdf_exp >= 0.5 - 1e-9 THEN b_ord END) AS qe_50,
+    MIN(CASE WHEN cdf_obs >= 0.9 - 1e-9 THEN b_ord END) AS qo_90,
+    MIN(CASE WHEN cdf_exp >= 0.9 - 1e-9 THEN b_ord END) AS qe_90,
+    MIN(CASE WHEN cdf_obs >= 0.99 - 1e-9 THEN b_ord END) AS qo_99,
+    MIN(CASE WHEN cdf_exp >= 0.99 - 1e-9 THEN b_ord END) AS qe_99,
+    MAX(n_tot) AS n
+  FROM c GROUP BY 1
+)
+SELECT event_type, ROUND(CAST(q AS DOUBLE), 2) AS q, b_obs, b_exp, b_obs - b_exp AS shift,
+       CAST(n AS BIGINT) AS n
+FROM a, (VALUES (0.5), (0.9), (0.99)) AS qv(q),
+LATERAL (SELECT
+    CASE WHEN qv.q = 0.5 THEN qo_50 WHEN qv.q = 0.9 THEN qo_90 ELSE qo_99 END AS b_obs,
+    CASE WHEN qv.q = 0.5 THEN qe_50 WHEN qv.q = 0.9 THEN qe_90 ELSE qe_99 END AS b_exp) x
 """
 
 
@@ -1192,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_events": q_hist_events,
         "psi_ks_events": q_psi_ks_events,
         "divergence_events": q_divergence_events,
+        "quantile_drift_events": q_quantile_drift_events,
         "ks_documents": q_ks_documents,
         "array_embeddings": q_array_embeddings,
         "json_events": q_json_events,
@@ -1238,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_events": SQL_HIST_EVENTS,
         "psi_ks_events": SQL_PSI_KS_EVENTS,
         "divergence_events": SQL_DIVERGENCE_EVENTS,
+        "quantile_drift_events": SQL_QUANTILE_DRIFT_EVENTS,
         "ks_documents": SQL_KS_DOCUMENTS,
         "array_embeddings": SQL_ARRAY_EMBEDDINGS,
         "json_events": SQL_JSON_EVENTS,

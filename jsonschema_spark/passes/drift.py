@@ -237,6 +237,53 @@ def divergence_metrics(obs: DataFrame, baseline: DataFrame) -> DataFrame:
     return agg.withColumn("chi2_p", chi2_pvalue(F.col("chi2"), F.col("dof")))
 
 
+def quantile_metrics(
+    obs: DataFrame, baseline: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Per (part_id, col, q): histogram-quantile drift — the bucket index at
+    which the observed CDF first reaches q, the same for the baseline CDF,
+    and their difference in bucket units (``shift``).
+
+    Quantiles are read off the SAME dense histogram grid the KS/PSI pass
+    builds — no fact-table sort, no approx_percentile: at 10^12 rows an
+    exact percentile is a global sort and approx_percentile is
+    non-deterministic across runs, while the bucket-CDF quantile is exact at
+    bucket resolution, deterministic, and costs one window pass over the
+    partitions × columns × buckets grid. Numeric drift columns only (bucket
+    labels must cast to double; categorical buckets sort to +inf and would
+    make ``shift`` meaningless).
+
+    The q threshold is compared as ``cdf >= q − 1e−9`` (mirrored in the
+    DuckDB oracle) so last-ulp float-sum differences at an exact boundary
+    cannot flip the selected bucket between engines.
+    """
+    j = _histogram_grid(obs, baseline)
+    order = F.coalesce(F.col("bucket").try_cast("double"), F.lit(float("inf")))
+    j = j.withColumn("b_ord", order)
+    aggs = []
+    for q in qs:
+        thr = F.lit(q - 1e-9)
+        aggs.append(
+            F.min(F.when(F.col("cdf_obs") >= thr, F.col("b_ord"))).alias(f"qo_{int(q * 100)}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cdf_exp") >= thr, F.col("b_ord"))).alias(f"qe_{int(q * 100)}")
+        )
+    agg = j.groupBy("part_id", "col").agg(*aggs, F.max("n_tot").alias("n"))
+    per_q = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.col(f"qo_{int(q * 100)}").alias("b_obs"),
+            F.col(f"qe_{int(q * 100)}").alias("b_exp"),
+            (F.col(f"qo_{int(q * 100)}") - F.col(f"qe_{int(q * 100)}")).alias("shift"),
+        )
+        for q in qs
+    ]
+    return agg.select(
+        "part_id", "col", F.explode(F.array(*per_q)).alias("e"), "n"
+    ).select("part_id", "col", "e.q", "e.b_obs", "e.b_exp", "e.shift", "n")
+
+
 def drift_verdicts(
     metrics: DataFrame, ks_alpha: float = 0.01, psi_max: float = 0.2
 ) -> DataFrame:

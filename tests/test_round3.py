@@ -655,3 +655,43 @@ def test_divergence_chi2_smoothed_when_bucket_missing_from_baseline(spark):
     assert r["chi2"] == r["chi2"] and r["chi2"] < float("inf")
     assert r["chi2"] > 1000  # 50 observed vs ~1e-4 expected is a huge signal
     assert r["dof"] == 1  # two baseline-supported buckets - 1
+
+
+# -------------------- histogram-quantile drift
+
+def test_quantile_metrics_planted_bucket_shift(spark):
+    """A partition whose distribution is the baseline shifted +2 buckets
+    must report shift == 2 at every quantile; a matching partition 0."""
+    from jsonschema_spark.passes.drift import quantile_metrics
+
+    base_counts = {1: 10, 2: 20, 3: 40, 4: 20, 5: 10}
+    tot = sum(base_counts.values())
+    base = [("w", str(b), c / tot) for b, c in base_counts.items()]
+    obs = (
+        [("match", "w", str(b), c * 3) for b, c in base_counts.items()]
+        + [("shifted", "w", str(b + 2), c * 3) for b, c in base_counts.items()]
+    )
+    o = spark.createDataFrame(obs, "part_id string, col string, bucket string, n long")
+    b = spark.createDataFrame(base, "col string, bucket string, p_expected double")
+    rows = {(r["part_id"], r["q"]): r for r in quantile_metrics(o, b).collect()}
+    for q in (0.5, 0.9, 0.99):
+        assert rows[("match", q)]["shift"] == 0.0, q
+        assert rows[("shifted", q)]["shift"] == 2.0, q
+    # sanity on the medians themselves: base median bucket is 3
+    assert rows[("match", 0.5)]["b_obs"] == 3.0
+    assert rows[("shifted", 0.5)]["b_obs"] == 5.0
+
+
+def test_quantile_metrics_exact_boundary_is_engine_stable(spark):
+    """A CDF that hits a q threshold EXACTLY (0.5 after two of four equal
+    buckets) must select that bucket — the 1e-9 epsilon guards the float-sum
+    boundary the DuckDB oracle must agree on."""
+    from jsonschema_spark.passes.drift import quantile_metrics
+
+    obs = [("p0", "w", str(b), 25) for b in range(1, 5)]
+    base = [("w", str(b), 0.25) for b in range(1, 5)]
+    o = spark.createDataFrame(obs, "part_id string, col string, bucket string, n long")
+    b = spark.createDataFrame(base, "col string, bucket string, p_expected double")
+    rows = {r["q"]: r for r in quantile_metrics(o, b).collect()}
+    assert rows[0.5]["b_obs"] == 2.0 and rows[0.5]["b_exp"] == 2.0
+    assert rows[0.99]["b_obs"] == 4.0
