@@ -2,7 +2,7 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (42 queries, 35 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (43 queries, 36 oracles).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
@@ -67,6 +67,38 @@ FROM lineitem WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F')
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'required', '/l_shipdate', NULL
 FROM lineitem WHERE l_shipdate IS NULL
+"""
+
+
+def q_predicates_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-field row predicates (x-table-checks/row-predicates) — SQL
+    invariants JSON Schema cannot express, compiled into the same fused P1
+    violations projection as the keyword checks (compile_spark.compile_table).
+    ANSI CHECK semantics: NULL predicate result passes."""
+    spec = {
+        "x-table-checks": {
+            "row-predicates": [
+                {"name": "unit_price_floor",
+                 "test": "l_extendedprice >= l_quantity * 900",
+                 "show": "l_extendedprice"},
+                {"name": "discount_tax_cap",
+                 "test": "l_discount + l_tax <= 0.12",
+                 "show": "l_discount"},
+            ]
+        }
+    }
+    return validate_rows(_t(spark, sf, "lineitem"), spec,
+                         keys=["l_orderkey", "l_linenumber"])
+
+
+SQL_PREDICATES_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'x-predicate' AS keyword,
+       '/unit_price_floor' AS path, CAST(l_extendedprice AS VARCHAR) AS value
+FROM lineitem WHERE NOT COALESCE(l_extendedprice >= l_quantity * 900, TRUE)
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'x-predicate', '/discount_tax_cap',
+       CAST(l_discount AS VARCHAR)
+FROM lineitem WHERE NOT COALESCE(l_discount + l_tax <= 0.12, TRUE)
 """
 
 
@@ -1272,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_ks_events": q_psi_ks_events,
         "divergence_events": q_divergence_events,
         "quantile_drift_events": q_quantile_drift_events,
+        "predicates_lineitem": q_predicates_lineitem,
         "ks_documents": q_ks_documents,
         "array_embeddings": q_array_embeddings,
         "json_events": q_json_events,
@@ -1319,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_ks_events": SQL_PSI_KS_EVENTS,
         "divergence_events": SQL_DIVERGENCE_EVENTS,
         "quantile_drift_events": SQL_QUANTILE_DRIFT_EVENTS,
+        "predicates_lineitem": SQL_PREDICATES_LINEITEM,
         "ks_documents": SQL_KS_DOCUMENTS,
         "array_embeddings": SQL_ARRAY_EMBEDDINGS,
         "json_events": SQL_JSON_EVENTS,

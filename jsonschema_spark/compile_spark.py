@@ -528,4 +528,28 @@ def compile_table(spec: Spec, schema: T.StructType) -> CompiledTableSpec:
                 used.add(name)
                 checks.extend(compile_node(sub, F.col(name), f"/{name}", name, fields[name]))
 
+    for pred in spec.table_checks.row_predicates:
+        name, test = pred["name"], pred["test"]
+        cols = pred.get("columns")
+        if cols is None:
+            # conservative identifier scan: any schema field named in the
+            # test must survive fused-scan column pruning
+            import re as _re
+            tokens = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", test))
+            cols = [c for c in fields if c in tokens]
+        unknown = [c for c in cols if c not in fields]
+        if unknown:
+            raise CompileError(f"row-predicate {name!r} references absent columns: {unknown}")
+        used.update(cols)
+        try:
+            # ANSI CHECK-constraint semantics: a NULL predicate result passes
+            # (null inputs are the type/required checks' concern)
+            ok = F.coalesce(F.expr(test), F.lit(True))
+            show = F.expr(pred["show"]).cast("string") if pred.get("show") \
+                else F.lit(None).cast("string")
+        except Exception as exc:
+            raise CompileError(f"row-predicate {name!r}: bad SQL expression: {exc}") from exc
+        checks.append(CheckExpr("x-predicate", f"/{name}",
+                                cols[0] if cols else name, ok, show))
+
     return CompiledTableSpec(checks=checks, columns=sorted(used), spec=spec)

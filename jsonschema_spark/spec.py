@@ -96,6 +96,12 @@ class TableChecks:
     unique: tuple[tuple[str, ...], ...] = ()
     references: tuple[dict[str, Any], ...] = ()
     drift: dict[str, Any] | None = None
+    # cross-field row predicates — SQL invariants JSON Schema cannot express
+    # (e.g. "fmt <> 'raw' OR length(bytes) = w*h*3"); each entry:
+    # {"name": str, "test": <SQL bool expr>, "show"?: <SQL value expr>,
+    #  "columns"?: [str, ...]}  (columns override the identifier scan used
+    # for fused-scan pruning)
+    row_predicates: tuple[dict[str, Any], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -153,7 +159,13 @@ def parse(schema: dict[str, Any] | bool) -> Spec:
         unique=tuple(tuple(k) for k in tc.get("unique", [])),
         references=tuple(dict(r) for r in tc.get("references", [])),
         drift=dict(tc["drift"]) if "drift" in tc else None,
+        row_predicates=tuple(dict(p) for p in tc.get("row-predicates", [])),
     )
+    for p in table_checks.row_predicates:
+        if not isinstance(p.get("name"), str) or not p["name"]:
+            raise SpecError(f"row-predicate needs a non-empty 'name': {p!r}")
+        if not isinstance(p.get("test"), str) or not p["test"]:
+            raise SpecError(f"row-predicate {p['name']!r} needs a SQL 'test' string")
     return Spec(root=root, table_checks=table_checks, raw=schema)
 
 

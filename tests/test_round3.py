@@ -695,3 +695,64 @@ def test_quantile_metrics_exact_boundary_is_engine_stable(spark):
     rows = {r["q"]: r for r in quantile_metrics(o, b).collect()}
     assert rows[0.5]["b_obs"] == 2.0 and rows[0.5]["b_exp"] == 2.0
     assert rows[0.99]["b_obs"] == 4.0
+
+
+# -------------------- cross-field row predicates (x-table-checks extension)
+
+def test_row_predicate_cross_field_violations(spark):
+    """The image-table invariant JSON Schema can't express: raw frames must
+    satisfy length(bytes) = w*h*3. Violating rows produce an 'x-predicate'
+    violation; NULL inputs pass (ANSI CHECK semantics)."""
+    from jsonschema_spark.engine import validate_rows
+
+    rows = [
+        ("ok", "raw", 2, 2, bytearray(12)),
+        ("bad", "raw", 2, 2, bytearray(11)),
+        ("png_exempt", "png", 2, 2, bytearray(5)),
+        ("null_pass", "raw", None, 2, bytearray(7)),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, fmt string, w int, h int, bytes binary")
+    spec = {"x-table-checks": {"row-predicates": [
+        {"name": "raw_size", "test": "fmt <> 'raw' OR length(bytes) = w*h*3",
+         "show": "length(bytes)"}]}}
+    out = {r["image_id"]: r for r in
+           validate_rows(df, spec, keys=["image_id"]).collect()}
+    assert set(out) == {"bad"}
+    assert out["bad"]["keyword"] == "x-predicate"
+    assert out["bad"]["path"] == "/raw_size"
+    assert out["bad"]["value"] == "11"
+
+
+def test_row_predicate_columns_survive_fused_scan_pruning(spark):
+    """Columns referenced only by a predicate must be in compiled.columns,
+    or the fused narrow scan would drop them before the projection runs."""
+    from pyspark.sql import types as T
+
+    from jsonschema_spark import spec as S
+    from jsonschema_spark.compile_spark import compile_table
+
+    schema = T.StructType([
+        T.StructField("a", T.IntegerType()), T.StructField("b", T.IntegerType()),
+        T.StructField("c", T.IntegerType())])
+    spec = S.parse({"properties": {"a": {"minimum": 0}},
+                    "x-table-checks": {"row-predicates": [
+                        {"name": "p", "test": "b < c"}]}})
+    compiled = compile_table(spec, schema)
+    assert set(compiled.columns) >= {"a", "b", "c"}
+
+
+def test_row_predicate_absent_column_and_bad_spec_fail_fast(spark):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from jsonschema_spark import spec as S
+    from jsonschema_spark.compile_spark import CompileError, compile_table
+
+    schema = T.StructType([T.StructField("a", T.IntegerType())])
+    spec = S.parse({"x-table-checks": {"row-predicates": [
+        {"name": "p", "test": "a < zz", "columns": ["a", "zz"]}]}})
+    with _pytest.raises(CompileError, match="absent columns"):
+        compile_table(spec, schema)
+    with _pytest.raises(S.SpecError, match="'test'"):
+        S.parse({"x-table-checks": {"row-predicates": [{"name": "p"}]}})
