@@ -2,7 +2,7 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (43 queries, 36 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (44 queries, 37 oracles).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
@@ -514,6 +514,54 @@ FROM a, (VALUES (0.5), (0.9), (0.99)) AS qv(q),
 LATERAL (SELECT
     CASE WHEN qv.q = 0.5 THEN qo_50 WHEN qv.q = 0.9 THEN qo_90 ELSE qo_99 END AS b_obs,
     CASE WHEN qv.q = 0.5 THEN qe_50 WHEN qv.q = 0.9 THEN qe_90 ELSE qe_99 END AS b_exp) x
+"""
+
+
+def q_anomaly_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-anomaly pass (passes/anomaly.py): robust median/MAD z-score
+    of each source-partition's n_chars mean and null-rate against the
+    partition population — catches half-null / shifted ingestion batches
+    that per-row checks and drift tests both miss. One fact scan; flags
+    computed on the partitions × columns profile table."""
+    from jsonschema_spark.passes.anomaly import anomaly_flags, partition_profile
+
+    docs = _t(spark, sf, "documents")
+    prof = partition_profile(docs, ["n_chars"], part_col="source")
+    out = anomaly_flags(prof)
+    return out.select(
+        F.col("part_id").alias("source"),
+        F.col("column"),
+        F.col("metric"),
+        F.round("value", 6).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("robust_z", 4).alias("robust_z"),
+        F.col("is_anomaly"),
+    )
+
+
+SQL_ANOMALY_DOCUMENTS = """
+WITH prof AS (
+  SELECT source AS part_id, count(*) AS n_rows,
+         avg(CAST(n_chars AS DOUBLE)) AS mean_v,
+         avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END) AS null_v
+  FROM documents GROUP BY 1
+),
+long AS (
+  SELECT part_id, 'n_chars' AS col_name, 'mean' AS metric, mean_v AS value FROM prof
+  UNION ALL
+  SELECT part_id, 'n_chars', 'null_rate', null_v FROM prof
+),
+m AS (
+  SELECT *, median(value) OVER (PARTITION BY col_name, metric) AS med FROM long
+),
+m2 AS (
+  SELECT *, median(ABS(value - med)) OVER (PARTITION BY col_name, metric) AS mad FROM m
+)
+SELECT part_id AS source, col_name AS "column", metric,
+  ROUND(value, 6) AS value, ROUND(med, 6) AS med,
+  ROUND((value - med) / GREATEST(mad * 1.4826, 1e-12), 4) AS robust_z,
+  ABS((value - med) / GREATEST(mad * 1.4826, 1e-12)) > 3.5 AS is_anomaly
+FROM m2
 """
 
 
@@ -1305,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divergence_events": q_divergence_events,
         "quantile_drift_events": q_quantile_drift_events,
         "predicates_lineitem": q_predicates_lineitem,
+        "anomaly_documents": q_anomaly_documents,
         "ks_documents": q_ks_documents,
         "array_embeddings": q_array_embeddings,
         "json_events": q_json_events,
@@ -1353,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "divergence_events": SQL_DIVERGENCE_EVENTS,
         "quantile_drift_events": SQL_QUANTILE_DRIFT_EVENTS,
         "predicates_lineitem": SQL_PREDICATES_LINEITEM,
+        "anomaly_documents": SQL_ANOMALY_DOCUMENTS,
         "ks_documents": SQL_KS_DOCUMENTS,
         "array_embeddings": SQL_ARRAY_EMBEDDINGS,
         "json_events": SQL_JSON_EVENTS,

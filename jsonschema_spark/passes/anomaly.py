@@ -1,0 +1,93 @@
+"""Partition-anomaly detection: flag ingestion batches whose per-partition
+column profile is a robust outlier against the table's partition population.
+
+Validation rationale (north rule: per-partition pass/fail at 10^12 rows):
+range/type checks catch per-ROW corruption, drift tests catch distribution
+shape changes vs a baseline — but a silently half-null batch, or a batch
+whose mean jumped 10x, passes both when the damaged values are individually
+legal. The partition profile catches exactly that failure mode.
+
+Scale shape:
+- ``partition_profile`` is ONE fact scan → one hash aggregation keyed by
+  (partition): output is partitions × columns rows, independent of row
+  count. Map-side partial aggregation collapses everything before the
+  shuffle.
+- ``anomaly_flags`` runs entirely on that tiny profile table: per-column
+  median and MAD via window functions, no fact data touched. Robust
+  statistics (median/MAD, not mean/stddev) so the outlier batches being
+  hunted cannot mask themselves by inflating the spread estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Φ^{-1}(0.75): MAD × 1.4826 estimates σ under normality, making the z
+# threshold comparable to a classic z-score cut.
+MAD_SIGMA = 1.4826
+
+
+def partition_profile(
+    df: DataFrame, columns: list[str], part_col: str = "part_id"
+) -> DataFrame:
+    """(part_id, column, metric, value) — per-partition mean and null-rate
+    for each requested column, one scan, one aggregation."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nullrate"))
+    wide = df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+
+    entries = []
+    for c in columns:
+        entries.append(F.struct(
+            F.lit(c).alias("column"), F.lit("mean").alias("metric"),
+            F.col(f"{c}__mean").alias("value")))
+        entries.append(F.struct(
+            F.lit(c).alias("column"), F.lit("null_rate").alias("metric"),
+            F.col(f"{c}__nullrate").alias("value")))
+    return (
+        wide.select("part_id", "n_rows", F.explode(F.array(*entries)).alias("e"))
+        .select("part_id", "n_rows", "e.column", "e.metric", "e.value")
+    )
+
+
+def anomaly_flags(profile: DataFrame, z_max: float = 3.5) -> DataFrame:
+    """Robust z-score per (part_id, column, metric) against the partition
+    population: z = (value − median) / (MAD_SIGMA × MAD). Partitions with
+    |z| > z_max are flagged. MAD = 0 (all partitions identical) flags only
+    exact deviants via the EPS floor.
+
+    3.5 is the conventional robust-outlier cut (Iglewicz & Hoaglin, "How to
+    Detect and Handle Outliers", 1993).
+    """
+    w = Window.partitionBy("column", "metric")
+    med = F.median("value").over(w)
+    p = profile.withColumn("med", med)
+    mad = F.median(F.abs(F.col("value") - F.col("med"))).over(w)
+    p = p.withColumn("mad", mad)
+    z = (F.col("value") - F.col("med")) / (
+        F.greatest(F.col("mad") * F.lit(MAD_SIGMA), F.lit(1e-12))
+    )
+    return (
+        p.withColumn("robust_z", z)
+        .withColumn("is_anomaly", F.abs(F.col("robust_z")) > F.lit(z_max))
+    )
+
+
+def anomaly_verdicts(flags: DataFrame) -> DataFrame:
+    """Flagged partitions in the engine verdict schema."""
+    return (
+        flags.filter(F.col("is_anomaly"))
+        .select(
+            "part_id",
+            F.concat(F.lit("anomaly@/"), F.col("column"), F.lit(":"), F.col("metric"))
+            .alias("check_id"),
+            F.lit("anomaly").alias("keyword"),
+            F.concat(F.lit("/"), F.col("column")).alias("path"),
+            F.lit(False).alias("passed"),
+            F.lit(1).cast("long").alias("n_violations"),
+        )
+    )

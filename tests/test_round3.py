@@ -756,3 +756,61 @@ def test_row_predicate_absent_column_and_bad_spec_fail_fast(spark):
         compile_table(spec, schema)
     with _pytest.raises(S.SpecError, match="'test'"):
         S.parse({"x-table-checks": {"row-predicates": [{"name": "p"}]}})
+
+
+# -------------------- partition-anomaly pass (robust median/MAD z-score)
+
+def _anomaly_input(spark):
+    # 9 healthy partitions (mean ~100, no nulls), one half-null with mean 500
+    rows = []
+    for p in range(9):
+        rows += [(f"p{p}", 100 + (i % 3)) for i in range(20)]
+    rows += [("bad", 500 if i % 2 else None) for i in range(20)]
+    return spark.createDataFrame(rows, "part_id string, v int")
+
+
+def test_anomaly_flags_planted_bad_partition(spark):
+    from jsonschema_spark.passes.anomaly import anomaly_flags, partition_profile
+
+    prof = partition_profile(_anomaly_input(spark), ["v"])
+    flags = anomaly_flags(prof)
+    bad = {(r["part_id"], r["metric"]): r["is_anomaly"] for r in flags.collect()}
+    assert bad[("bad", "mean")] is True
+    assert bad[("bad", "null_rate")] is True
+    for p in range(9):
+        assert bad[(f"p{p}", "mean")] is False, p
+        assert bad[(f"p{p}", "null_rate")] is False, p
+
+
+def test_anomaly_verdicts_schema_and_content(spark):
+    from jsonschema_spark.passes.anomaly import (
+        anomaly_flags, anomaly_verdicts, partition_profile,
+    )
+
+    prof = partition_profile(_anomaly_input(spark), ["v"])
+    v = anomaly_verdicts(anomaly_flags(prof))
+    rows = v.collect()
+    assert {r["part_id"] for r in rows} == {"bad"}
+    assert {r["check_id"] for r in rows} == {"anomaly@/v:mean", "anomaly@/v:null_rate"}
+    assert all(r["passed"] is False and r["keyword"] == "anomaly" for r in rows)
+
+
+def test_anomaly_outlier_cannot_mask_itself(spark):
+    """The reason for median/MAD over mean/stddev: one extreme partition
+    inflates stddev enough to hide itself from a classic z-score, but not
+    the MAD. Extreme partition at 1e6 among 10 partitions at ~100."""
+    from jsonschema_spark.passes.anomaly import anomaly_flags, partition_profile
+
+    rows = []
+    for p in range(10):
+        rows += [(f"p{p}", 100 + p) for i in range(10)]
+    rows += [("huge", 1_000_000) for _ in range(10)]
+    df = spark.createDataFrame(rows, "part_id string, v int")
+    flags = {r["part_id"]: r for r in
+             anomaly_flags(partition_profile(df, ["v"])).filter("metric = 'mean'").collect()}
+    assert flags["huge"]["is_anomaly"] is True
+    # classic z-score would be (1e6-mean)/std ≈ 3.02 — under a 3.5 cut
+    import statistics
+    means = [100 + p for p in range(10)] + [1_000_000]
+    classic_z = (1_000_000 - statistics.mean(means)) / statistics.pstdev(means)
+    assert classic_z < 3.5
