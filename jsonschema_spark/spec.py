@@ -102,6 +102,9 @@ class TableChecks:
     #  "columns"?: [str, ...]}  (columns override the identifier scan used
     # for fused-scan pruning)
     row_predicates: tuple[dict[str, Any], ...] = ()
+    # partition-anomaly pass: {"columns": [str, ...], "z_max"?: float} —
+    # robust median/MAD z-score of per-partition mean/null-rate profiles
+    anomaly: dict[str, Any] | None = None
 
 
 @dataclass(frozen=True)
@@ -160,7 +163,10 @@ def parse(schema: dict[str, Any] | bool) -> Spec:
         references=tuple(dict(r) for r in tc.get("references", [])),
         drift=dict(tc["drift"]) if "drift" in tc else None,
         row_predicates=tuple(dict(p) for p in tc.get("row-predicates", [])),
+        anomaly=dict(tc["anomaly"]) if "anomaly" in tc else None,
     )
+    if table_checks.anomaly is not None and not table_checks.anomaly.get("columns"):
+        raise SpecError("x-table-checks/anomaly needs a non-empty 'columns' list")
     for p in table_checks.row_predicates:
         if not isinstance(p.get("name"), str) or not p["name"]:
             raise SpecError(f"row-predicate needs a non-empty 'name': {p!r}")

@@ -814,3 +814,36 @@ def test_anomaly_outlier_cannot_mask_itself(spark):
     means = [100 + p for p in range(10)] + [1_000_000]
     classic_z = (1_000_000 - statistics.mean(means)) / statistics.pstdev(means)
     assert classic_z < 3.5
+
+
+def test_validate_table_anomaly_pass_integration(spark):
+    """P6 wired into the full suite via x-table-checks/anomaly: flagged
+    partition gets failed verdict rows, healthy partitions explicit passes,
+    all under pass_id='anomaly'; anomaly-only columns survive the fused
+    projection."""
+    from jsonschema_spark.engine import validate_table
+
+    rows = []
+    for p in range(8):
+        rows += [(f"img-{p}-{i}", f"p{p}", 100 + (i % 5)) for i in range(30)]
+    rows += [(f"img-bad-{i}", "bad", None if i % 2 else 9000) for i in range(30)]
+    df = spark.createDataFrame(rows, "image_id string, part_id string, score int")
+    # spec's property checks do NOT reference `score` — only the anomaly
+    # block does, so this also pins the fused-scan column retention
+    spec = {"properties": {"image_id": {"type": "string"}},
+            "x-table-checks": {"anomaly": {"columns": ["score"]}}}
+    res = validate_table(df, spec, with_stats=False)
+    av = [r for r in res.verdicts.collect()
+          if r["check_id"].startswith("anomaly")]
+    res.cleanup()
+    # grouping-sets rollup adds part_id-NULL global rows; inspect per-part
+    per_part = {r["part_id"]: r for r in av if r["part_id"] is not None
+                and (r["part_id"] == "bad" or r["check_id"] == "anomaly@")}
+    assert per_part["bad"]["passed"] is False
+    flagged_checks = {r["check_id"] for r in av
+                      if r["part_id"] == "bad" and not r["passed"]}
+    assert "anomaly@/score:mean" in flagged_checks
+    assert "anomaly@/score:null_rate" in flagged_checks
+    for p in range(8):
+        assert per_part[f"p{p}"]["passed"] is True, p
+    assert res.anomaly_flags is not None
