@@ -291,6 +291,10 @@ SPEC_IMAGES = {
             {"expr": "length(caption)", "name": "caption_len",
              "lo": 0, "hi": 1024, "buckets": 32},
         ], "baseline": "baseline_profile", "ks_alpha": 0.01, "psi_max": 0.2},
+        # P6: flag ingestion partitions whose w/h/phash profile (mean or
+        # null-rate) is a robust median/MAD outlier vs the partition
+        # population — one extra aggregation over the fused cache
+        "anomaly": {"columns": ["w", "h", "phash"], "z_max": 3.5},
     },
 }
 
