@@ -847,3 +847,48 @@ def test_validate_table_anomaly_pass_integration(spark):
     for p in range(8):
         assert per_part[f"p{p}"]["passed"] is True, p
     assert res.anomaly_flags is not None
+
+
+# -------------------- property-based bounds on the divergence family
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+    _hist = st.lists(st.integers(0, 1000), min_size=2, max_size=8).filter(
+        lambda v: sum(v) > 0
+    )
+
+    @given(obs=_hist, exp=_hist)
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_divergence_metric_bounds_hold(spark, obs, exp):
+        """For ANY pair of histograms on a shared support: TVD ∈ [0,1],
+        Hellinger ∈ [0,1], JSD ∈ [0, ln2], chi² ≥ 0, chi2_p ∈ [0,1], and
+        W1 ≥ TVD (unit-spaced support ⇒ moving mass ≥1 bucket each)."""
+        import math
+
+        from jsonschema_spark.passes.drift import divergence_metrics
+
+        n = max(len(obs), len(exp))
+        obs = obs + [0] * (n - len(obs))
+        exp = exp + [0] * (n - len(exp))
+        tot_e = sum(exp) or 1
+        o_rows = [("p", "c", str(b + 1), v) for b, v in enumerate(obs) if v > 0]
+        e_rows = [("c", str(b + 1), v / tot_e) for b, v in enumerate(exp) if v > 0]
+        if not o_rows or not e_rows:
+            return
+        o = spark.createDataFrame(o_rows, "part_id string, col string, bucket string, n long")
+        e = spark.createDataFrame(e_rows, "col string, bucket string, p_expected double")
+        r = divergence_metrics(o, e).collect()[0]
+        assert -1e-9 <= r["tvd"] <= 1 + 1e-9
+        assert -1e-9 <= r["hellinger"] <= 1 + 1e-9
+        assert -1e-9 <= r["jsd"] <= math.log(2) + 1e-9
+        assert r["chi2"] >= -1e-9
+        assert -1e-6 <= r["chi2_p"] <= 1 + 1e-6
+        assert r["emd"] >= r["tvd"] - 1e-9
