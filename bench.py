@@ -34,6 +34,10 @@ HEADLINE = [
     "referential_customer_nation",
     "referential_lineitem_orders",
     "psi_ks_events",
+    "divergence_events",
+    "quantile_drift_events",
+    "predicates_lineitem",
+    "anomaly_documents",
     "topk_violations_orders",
     "dedup_exact_documents",
     "minhash_candidates_documents",
@@ -202,7 +206,8 @@ def main() -> None:
         "reps_per_query": REPS,  # each timing is the MEDIAN of this many runs
         "steal_pct": STEALS,     # /proc/stat CPU steal observed per query
         "flagship_passes": "P1 rows+stats, P2 uniqueness, P3 referential, "
-                           "P4 drift, P5 fidelity (sampled 0.1%)",
+                           "P4 drift, P5 fidelity (sampled 0.1%), "
+                           "P6 partition-anomaly (w,h,phash)",
     }))
     spark.stop()
 
