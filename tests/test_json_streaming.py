@@ -160,3 +160,42 @@ def test_drift_state_stream(spark, tmp_path):
     assert last[("a", 6)] == 2
     # group b: 200 ≥ hi → overflow bucket 11
     assert last[("b", 11)] == 1
+
+
+def test_streaming_histograms_feed_divergence_metrics(spark, tmp_path):
+    """End-to-end incremental drift: drift_state_stream's emitted histogram
+    rows are exactly the (part_id, col, bucket, n) shape drift_metrics /
+    divergence_metrics consume — a foreachBatch sink can score drift each
+    micro-batch with zero re-aggregation."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.passes.drift import divergence_metrics
+
+    src = tmp_path / "src4"
+    spark.createDataFrame(
+        [(i, float(i % 10) * 10, "a") for i in range(40)]
+        + [(100 + i, 95.0, "b") for i in range(40)],
+        "id long, value double, grp string",
+    ).write.parquet(str(src / "f1"))
+    stream = (spark.readStream.schema("id long, value double, grp string")
+              .parquet(str(src / "*")))
+    hist = S.drift_state_stream(stream, "value", "grp", lo=0.0, hi=100.0, buckets=10)
+    q = (hist.writeStream.format("memory").queryName("div_out")
+         .outputMode("update").start())
+    _run_stream(q)
+
+    obs = (spark.sql("SELECT * FROM div_out")
+           .groupBy("grp", "bucket").agg(F.max("n").alias("n"))
+           .select(F.col("grp").alias("part_id"), F.lit("value").alias("col"),
+                   F.col("bucket").cast("string").alias("bucket"), "n"))
+    # baseline = uniform over buckets 1..10
+    base = spark.createDataFrame(
+        [("value", str(b), 0.1) for b in range(1, 11)],
+        "col string, bucket string, p_expected double")
+    m = {r["part_id"]: r for r in divergence_metrics(obs, base).collect()}
+    # group a is uniform over the 10 buckets → near-zero distances;
+    # group b is a point mass in one bucket → strong drift on every metric
+    assert m["a"]["tvd"] < 0.05
+    assert m["b"]["tvd"] > 0.8
+    assert m["b"]["jsd"] > m["a"]["jsd"]
+    assert m["b"]["chi2_p"] < 0.001
