@@ -2,7 +2,7 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (44 queries, 37 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (45 queries, 38 oracles).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
@@ -562,6 +562,49 @@ SELECT part_id AS source, col_name AS "column", metric,
   ROUND((value - med) / GREATEST(mad * 1.4826, 1e-12), 4) AS robust_z,
   ABS((value - med) / GREATEST(mad * 1.4826, 1e-12)) > 3.5 AS is_anomaly
 FROM m2
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding-distribution drift: centroid cosine vs the global
+    centroid + mean norm (operators/similarity.py:embedding_drift — one
+    posexplode + hash agg keyed by (partition, dim); no UDF, no collect)."""
+    from jsonschema_spark.operators.similarity import embedding_drift
+
+    emb = _t(spark, sf, "embeddings")
+    out = embedding_drift(emb, part_col="label", vec_col="embedding")
+    return out.select(
+        F.col("part_id").alias("label"),
+        F.round("cos_to_global", 6).alias("cos_to_global"),
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.col("n"),
+    )
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH e AS (
+  SELECT label AS part_id,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+per AS (
+  SELECT part_id, pos, SUM(CAST(val AS DOUBLE)) AS s, COUNT(*) AS c, AVG(nrm) AS mn
+  FROM e GROUP BY 1, 2
+),
+g AS (SELECT pos, SUM(s) / SUM(c) AS gv FROM per GROUP BY 1),
+j AS (SELECT per.*, g.gv FROM per JOIN g USING (pos)),
+a AS (
+  SELECT part_id, SUM((s/c) * gv) AS num, SQRT(SUM((s/c) * (s/c))) AS np,
+         SQRT(SUM(gv * gv)) AS ng, MAX(c) AS n, MAX(mn) AS mean_norm
+  FROM j GROUP BY 1
+)
+SELECT part_id AS label,
+       ROUND(num / GREATEST(np * ng, 1e-12), 6) AS cos_to_global,
+       ROUND(mean_norm, 6) AS mean_norm, CAST(n AS BIGINT) AS n
+FROM a
 """
 
 
@@ -1354,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_drift_events": q_quantile_drift_events,
         "predicates_lineitem": q_predicates_lineitem,
         "anomaly_documents": q_anomaly_documents,
+        "embedding_drift_labels": q_embedding_drift,
         "ks_documents": q_ks_documents,
         "array_embeddings": q_array_embeddings,
         "json_events": q_json_events,
@@ -1403,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_drift_events": SQL_QUANTILE_DRIFT_EVENTS,
         "predicates_lineitem": SQL_PREDICATES_LINEITEM,
         "anomaly_documents": SQL_ANOMALY_DOCUMENTS,
+        "embedding_drift_labels": SQL_EMBEDDING_DRIFT,
         "ks_documents": SQL_KS_DOCUMENTS,
         "array_embeddings": SQL_ARRAY_EMBEDDINGS,
         "json_events": SQL_JSON_EVENTS,

@@ -291,3 +291,59 @@ def ivf_topk(
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    part_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-partition embedding-distribution drift: cosine of each
+    partition's centroid against the global centroid, plus the partition's
+    mean vector norm — the embedding analogue of the scalar-column drift
+    pass (a shifted or degenerate batch of embeddings moves its centroid
+    away from cos≈1 and/or its norm profile).
+
+    Scale shape: ONE scan → ``posexplode`` → one hash aggregation keyed by
+    (partition, dimension); everything after runs on the partitions × dims
+    table (global centroid = per-dimension sums re-aggregated — no second
+    fact scan; the dims table is broadcast back). No driver-side collect,
+    no UDF.
+
+    Returns (part_id, cos_to_global, mean_norm, n).
+    """
+    # cast each component to double BEFORE squaring (float*float loses the
+    # low bits the DuckDB oracle keeps when it widens first)
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    e = df.select(
+        F.col(part_col).alias("part_id"),
+        norm.alias("nrm"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    # each (part_id, pos) group holds every row of the partition exactly
+    # once, so count/avg(nrm) are per-partition row count / mean norm
+    per = e.groupBy("part_id", "pos").agg(
+        F.sum(F.col("val").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.avg("nrm").alias("mn"),
+    )
+    g = per.groupBy("pos").agg((F.sum("s") / F.sum("c")).alias("gv"))
+    j = per.join(F.broadcast(g), "pos")
+    cp = F.col("s") / F.col("c")  # partition centroid component
+    agg = j.groupBy("part_id").agg(
+        F.sum(cp * F.col("gv")).alias("num"),
+        F.sqrt(F.sum(cp * cp)).alias("np"),
+        F.sqrt(F.sum(F.col("gv") * F.col("gv"))).alias("ng"),
+        F.max("c").alias("n"),
+        F.max("mn").alias("mean_norm"),
+    )
+    return agg.select(
+        "part_id",
+        (F.col("num") / F.greatest(F.col("np") * F.col("ng"), F.lit(1e-12)))
+        .alias("cos_to_global"),
+        "mean_norm",
+        "n",
+    )

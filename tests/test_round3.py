@@ -892,3 +892,36 @@ if HAVE_HYPOTHESIS:
         assert r["chi2"] >= -1e-9
         assert -1e-6 <= r["chi2_p"] <= 1 + 1e-6
         assert r["emd"] >= r["tvd"] - 1e-9
+
+
+# -------------------- embedding drift (centroid cosine vs global)
+
+def test_embedding_drift_planted_shifted_partition(spark):
+    """Partitions drawn around the same direction score cos≈1; a partition
+    around an orthogonal direction scores ≈0 against the (dominated) global
+    centroid; a scaled partition keeps cos but shows in mean_norm."""
+    import numpy as np
+
+    from jsonschema_spark.operators.similarity import embedding_drift
+
+    rng = np.random.default_rng(7)
+    d = 16
+    base_dir = np.zeros(d); base_dir[0] = 1.0
+    orth_dir = np.zeros(d); orth_dir[1] = 1.0
+    rows = []
+    for p in ("a", "b", "c"):  # three healthy partitions near e0
+        for _ in range(200):
+            rows.append((p, (base_dir + rng.normal(0, 0.01, d)).tolist()))
+    for _ in range(20):        # small orthogonal partition near e1
+        rows.append(("weird", (orth_dir + rng.normal(0, 0.01, d)).tolist()))
+    for _ in range(50):        # scaled copy of the base direction
+        rows.append(("big", (10.0 * base_dir + rng.normal(0, 0.01, d)).tolist()))
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    m = {r["part_id"]: r for r in embedding_drift(df, "label").collect()}
+    for p in ("a", "b", "c"):
+        assert m[p]["cos_to_global"] > 0.99, p
+        assert abs(m[p]["mean_norm"] - 1.0) < 0.05
+    assert m["weird"]["cos_to_global"] < 0.3
+    assert m["big"]["cos_to_global"] > 0.99
+    assert m["big"]["mean_norm"] > 9.0
+    assert m["a"]["n"] == 200 and m["weird"]["n"] == 20
