@@ -33,21 +33,24 @@ def partition_profile(
     df: DataFrame, columns: list[str], part_col: str = "part_id"
 ) -> DataFrame:
     """(part_id, column, metric, value) — per-partition mean and null-rate
-    for each requested column, one scan, one aggregation."""
+    for each requested column (a column name OR any SQL expression, e.g.
+    ``length(caption)`` — same surface as the drift columns), one scan, one
+    aggregation. The expression string itself is the reported label."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in columns:
-        aggs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
-        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__nullrate"))
+    for i, c in enumerate(columns):
+        v = F.expr(c)
+        aggs.append(F.avg(v.cast("double")).alias(f"m{i}__mean"))
+        aggs.append(F.avg(v.isNull().cast("double")).alias(f"m{i}__nullrate"))
     wide = df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
 
     entries = []
-    for c in columns:
+    for i, c in enumerate(columns):
         entries.append(F.struct(
             F.lit(c).alias("column"), F.lit("mean").alias("metric"),
-            F.col(f"{c}__mean").alias("value")))
+            F.col(f"m{i}__mean").alias("value")))
         entries.append(F.struct(
             F.lit(c).alias("column"), F.lit("null_rate").alias("metric"),
-            F.col(f"{c}__nullrate").alias("value")))
+            F.col(f"m{i}__nullrate").alias("value")))
     return (
         wide.select("part_id", "n_rows", F.explode(F.array(*entries)).alias("e"))
         .select("part_id", "n_rows", "e.column", "e.metric", "e.value")

@@ -925,3 +925,25 @@ def test_embedding_drift_planted_shifted_partition(spark):
     assert m["big"]["cos_to_global"] > 0.99
     assert m["big"]["mean_norm"] > 9.0
     assert m["a"]["n"] == 200 and m["weird"]["n"] == 20
+
+
+def test_anomaly_profile_accepts_sql_expressions(spark):
+    """x-table-checks/anomaly columns may be SQL expressions (same surface
+    as drift columns): a partition with systematically short captions flags
+    on mean(length(caption))."""
+    from jsonschema_spark.engine import validate_table
+
+    rows = []
+    for p in range(7):
+        rows += [(f"id-{p}-{i}", f"p{p}", "a caption of usual length " + "x" * (i % 5))
+                 for i in range(20)]
+    rows += [(f"id-s-{i}", "short", "t") for i in range(20)]
+    df = spark.createDataFrame(rows, "image_id string, part_id string, caption string")
+    spec = {"properties": {"image_id": {"type": "string"}},
+            "x-table-checks": {"anomaly": {"columns": ["length(caption)"]}}}
+    res = validate_table(df, spec, with_stats=False)
+    flagged = {r["part_id"] for r in res.verdicts.collect()
+               if r["keyword"] == "anomaly" and r["part_id"] is not None
+               and not r["passed"]}
+    res.cleanup()
+    assert flagged == {"short"}
