@@ -1356,7 +1356,7 @@ def q_fidelity_images(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_images_full_suite(spark: SparkSession, sf: str) -> DataFrame:
     """North-rule flagship: generate the deterministic image+caption fixture
-    table and run the full four-pass suite; returns the verdict matrix.
+    table and run the full six-pass suite; returns the verdict matrix.
     No SQL oracle (binary image payloads) — golden-tested in tests/."""
     from jsonschema_spark import fixtures as FX
     from jsonschema_spark.passes.drift import baseline_profile as bp

@@ -5,7 +5,7 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Covers every operator family from SURVEY.md §2: P1 row checks + fused
 stats, P2 salted uniqueness, P3 broadcast & shuffle-hash referential,
 P4 histogram/KS/PSI drift, dedup (exact, MinHash-LSH), similarity top-k,
-text analysis, and the full four-pass image suite over the deterministic
+text analysis, and the full six-pass image suite over the deterministic
 fixture table (the north-rule flagship, images/sec reported separately).
 
 Each query is forced end-to-end with a noop sink (full materialization,
@@ -50,7 +50,7 @@ HEADLINE = [
     "fingerprints_documents",
 ]
 
-# 8M-image flagship (round 2): at 2M the four-pass suite is dominated by
+# 8M-image flagship (round 2): at 2M the full suite is dominated by
 # fixed stage-scheduling latency (~15 s of its ~30 s wall) and the
 # throughput number understates the engine by ~4x; 8M is compute-dominated
 # while still generating in minutes on first run (cached thereafter).
@@ -117,7 +117,7 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = timed_median(lambda: sink(qs[name](spark, SF_DIR)), name)
 
-    # flagship: full four-pass suite over the deterministic image table
+    # flagship: full six-pass suite over the deterministic image table
     from jsonschema_spark import fixtures as FX
     from jsonschema_spark.engine import validate_table
     from jsonschema_spark.passes.drift import baseline_profile
