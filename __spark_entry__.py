@@ -26,7 +26,7 @@ from jsonschema_spark.passes.drift import (
     DriftColumn, observed_histograms, baseline_profile, baseline_from_observed,
     drift_metrics,
 )
-from jsonschema_spark.operators import dedup, similarity, text as T
+from jsonschema_spark.operators import clustering, dedup, similarity, text as T
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -877,6 +877,39 @@ def q_keep_canonical_documents(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.keep_canonical(docs.select("doc_id"), pairs).select("doc_id")
 
 
+def q_dup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (alternating
+    large-star/small-star, SoCC'14) over the n-gram-Jaccard near-dup pair
+    graph — every document gets the minimum doc_id of its duplicate cluster
+    plus an is_canonical flag. The transitive closure is what a per-pair
+    keep/drop policy cannot provide (a~b, b~c must share one cluster id).
+    ORACLE-BACKED: DuckDB recursive CTE computes min-reachable-node over the
+    same pair graph."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1, n=3)
+    return clustering.duplicate_clusters(docs, pairs)
+
+
+SQL_DUP_CLUSTERS_DOCUMENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD_DOCUMENTS}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+),
+cc AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(cc.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN cc USING (doc_id)
+"""
+
+
 def q_minhash_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Full MinHash dedup (LSH candidates + exact-Jaccard verify) — planted
     exact-dup copies of the 50 lowest-id docs guarantee non-vacuous output.
@@ -1410,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates_documents": q_minhash_candidates_documents,
         "simhash_documents": q_simhash_documents,
         "keep_canonical_documents": q_keep_canonical_documents,
+        "dup_clusters_documents": q_dup_clusters_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_near_dups_documents": q_simhash_near_dups_documents,
         "hamming_pairs_documents": q_hamming_pairs_documents,
@@ -1458,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "ngram_jaccard_documents": SQL_NGRAM_JACCARD_DOCUMENTS,
         "keep_canonical_documents": SQL_KEEP_CANONICAL_DOCUMENTS,
+        "dup_clusters_documents": SQL_DUP_CLUSTERS_DOCUMENTS,
         "minhash_dedup_documents": SQL_MINHASH_DEDUP_DOCUMENTS,
         "hamming_pairs_documents": SQL_HAMMING_PAIRS_DOCUMENTS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

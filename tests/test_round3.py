@@ -947,3 +947,76 @@ def test_anomaly_profile_accepts_sql_expressions(spark):
                and not r["passed"]}
     res.cleanup()
     assert flagged == {"short"}
+
+
+# ---------------------------------------------- duplicate clustering (CC)
+
+def test_connected_components_transitive_chain_and_star(spark):
+    """a-b-c-d chain, e-f pair, g-star: every node must get its component's
+    MINIMUM id — transitive closure, which a per-pair keep/drop policy
+    cannot produce."""
+    from jsonschema_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("e", "f"),
+         ("g", "h"), ("g", "i"), ("g", "j"), ("d", "c")],  # dup edge included
+        ["id_a", "id_b"],
+    )
+    got = {(r["id"], r["cluster_id"]) for r in connected_components(pairs).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                   ("e", "e"), ("f", "e"),
+                   ("g", "g"), ("h", "g"), ("i", "g"), ("j", "g")}
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    """A 64-node path graph is the adversarial diameter case: naive
+    min-propagation needs 63 rounds; alternating star must finish well
+    within the O(log n) budget and still label every node with the min."""
+    from jsonschema_spark.operators import clustering
+
+    ids = [f"n{i:03d}" for i in range(64)]
+    pairs = spark.createDataFrame(list(zip(ids[:-1], ids[1:])), ["id_a", "id_b"])
+
+    rounds = 0
+    orig_small = clustering._small_star
+
+    def counting_small(edges):
+        nonlocal rounds
+        rounds += 1
+        return orig_small(edges)
+
+    clustering._small_star = counting_small
+    try:
+        cc = clustering.connected_components(pairs)
+        assert cc.where("cluster_id != 'n000'").count() == 0
+        assert cc.count() == 64
+    finally:
+        clustering._small_star = orig_small
+    # 2*log2(64)=12 is the paper bound; +1 for the convergence-confirm round
+    assert rounds <= 13, f"took {rounds} star rounds for a 64-path"
+
+
+def test_duplicate_clusters_singletons_and_canonical_flags(spark):
+    from jsonschema_spark.operators.clustering import duplicate_clusters
+
+    df = spark.createDataFrame([(x,) for x in "abcdefg"], ["doc_id"])
+    pairs = spark.createDataFrame([("b", "a"), ("c", "b")], ["id_a", "id_b"])
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in duplicate_clusters(df, pairs).collect()}
+    assert rows == {
+        "a": ("a", True), "b": ("a", False), "c": ("a", False),
+        "d": ("d", True), "e": ("e", True), "f": ("f", True), "g": ("g", True),
+    }
+
+
+def test_connected_components_int_ids_and_skewed_star(spark):
+    """Numeric ids + a 500-leaf hot star (the skew shape large-star exists
+    for): one round must collapse it; all leaves label to the hub's min."""
+    from jsonschema_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, leaf) for leaf in range(10, 510)] + [(5, 1)], ["id_a", "id_b"]
+    )
+    cc = connected_components(pairs)
+    assert cc.count() == 502
+    assert cc.where("cluster_id != 1").count() == 0
