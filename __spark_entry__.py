@@ -26,7 +26,7 @@ from jsonschema_spark.passes.drift import (
     DriftColumn, observed_histograms, baseline_profile, baseline_from_observed,
     drift_metrics,
 )
-from jsonschema_spark.operators import clustering, dedup, similarity, text as T
+from jsonschema_spark.operators import clustering, dedup, sampling, similarity, text as T
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -910,6 +910,60 @@ FROM documents d LEFT JOIN cc USING (doc_id)
 """
 
 
+def q_hash_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-hash sampling: keep ~25% of docs by an
+    md5-prefix threshold — stable across reruns/repartitioning (df.sample is
+    neither), scan-side filter, no shuffle. Oracle: DuckDB computes the
+    identical md5-hex predicate."""
+    docs = _t(spark, sf, "documents")
+    return sampling.hash_sample(docs, 0.25).select("doc_id", "lang")
+
+
+SQL_HASH_SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12) < '400000000000'
+"""
+
+
+def q_stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sampleBy: rebalance a language-skewed corpus with
+    per-stratum keep fractions compiled into one CASE filter (single scan,
+    no join)."""
+    docs = _t(spark, sf, "documents")
+    return sampling.stratified_hash_sample(
+        docs, {"en": 0.5, "de": 1.0, "fr": 0.25}, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12) <
+  CASE lang WHEN 'de' THEN 'g'
+            WHEN 'en' THEN '800000000000'
+            WHEN 'fr' THEN '400000000000'
+            ELSE '000000000000' END
+"""
+
+
+def q_splits_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment by cumulative hash-slot
+    intervals — a row's split never changes when the corpus grows (prevents
+    eval-set contamination across dataset versions)."""
+    docs = _t(spark, sf, "documents")
+    return sampling.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "split")
+
+
+SQL_SPLITS_DOCUMENTS = """
+SELECT doc_id, lang,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12) < '19999999999a' THEN 'test'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12) < 'e66666666666' THEN 'train'
+       ELSE 'val' END AS split
+FROM documents
+"""
+
+
 def q_minhash_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Full MinHash dedup (LSH candidates + exact-Jaccard verify) — planted
     exact-dup copies of the 50 lowest-id docs guarantee non-vacuous output.
@@ -1444,6 +1498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "keep_canonical_documents": q_keep_canonical_documents,
         "dup_clusters_documents": q_dup_clusters_documents,
+        "hash_sample_documents": q_hash_sample_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "splits_documents": q_splits_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_near_dups_documents": q_simhash_near_dups_documents,
         "hamming_pairs_documents": q_hamming_pairs_documents,
@@ -1493,6 +1550,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": SQL_NGRAM_JACCARD_DOCUMENTS,
         "keep_canonical_documents": SQL_KEEP_CANONICAL_DOCUMENTS,
         "dup_clusters_documents": SQL_DUP_CLUSTERS_DOCUMENTS,
+        "hash_sample_documents": SQL_HASH_SAMPLE_DOCUMENTS,
+        "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
+        "splits_documents": SQL_SPLITS_DOCUMENTS,
         "minhash_dedup_documents": SQL_MINHASH_DEDUP_DOCUMENTS,
         "hamming_pairs_documents": SQL_HAMMING_PAIRS_DOCUMENTS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

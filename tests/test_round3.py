@@ -1020,3 +1020,70 @@ def test_connected_components_int_ids_and_skewed_star(spark):
     cc = connected_components(pairs)
     assert cc.count() == 502
     assert cc.where("cluster_id != 1").count() == 0
+
+
+# ---------------------------------------------- deterministic sampling
+
+def test_hash_sample_fraction_and_repartition_stability(spark):
+    """The kept set must be a property of row CONTENT, not partitioning:
+    identical under repartition(17) (df.sample is not), ~fraction sized,
+    and salt-independent draws barely overlap."""
+    from jsonschema_spark.operators import sampling as S
+
+    df = spark.range(100000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("lang")
+    )
+    n = S.hash_sample(df, 0.25).count()
+    assert abs(n / 100000 - 0.25) < 0.01
+    a = {r.doc_id for r in S.hash_sample(df, 0.01).collect()}
+    b = {r.doc_id for r in S.hash_sample(df.repartition(17), 0.01).collect()}
+    assert a == b
+    c = {r.doc_id for r in S.hash_sample(df, 0.01, salt="x").collect()}
+    assert len(a & c) < 50  # E[overlap] = 10
+
+    # scan-side filter: sampling must not introduce a shuffle
+    plan = S.hash_sample(df, 0.25)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_hash_sample_per_stratum_fractions(spark):
+    from jsonschema_spark.operators import sampling as S
+
+    df = spark.range(100000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("lang")
+    )
+    st = S.stratified_hash_sample(df, {"0": 0.5, "1": 0.1, "2": 1.0}, strata_col="lang")
+    cnt = {r["lang"]: r["count"] for r in st.groupBy("lang").count().collect()}
+    assert abs(cnt["0"] / 25000 - 0.5) < 0.03
+    assert abs(cnt["1"] / 25000 - 0.1) < 0.02
+    assert cnt["2"] == 25000  # fraction 1.0 keeps EVERY row (sentinel threshold)
+    assert "3" not in cnt  # default fraction 0
+
+
+def test_assign_splits_disjoint_exhaustive_and_growth_stable(spark):
+    """Every row gets exactly one split; a row's split does not change when
+    the corpus grows — the eval-contamination guarantee."""
+    from jsonschema_spark.operators import sampling as S
+
+    df = spark.range(100000).select(F.col("id").alias("doc_id"))
+    sp = S.assign_splits(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    sc = {r["split"]: r["count"] for r in sp.groupBy("split").count().collect()}
+    assert sum(sc.values()) == 100000
+    assert abs(sc["train"] / 100000 - 0.8) < 0.01
+    assert abs(sc["val"] / 100000 - 0.1) < 0.005
+    small = S.assign_splits(df.where("doc_id < 1000"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    m_small = {r["doc_id"]: r["split"] for r in small.collect()}
+    m_big = {r["doc_id"]: r["split"] for r in sp.where("doc_id < 1000").collect()}
+    assert m_small == m_big
+
+
+def test_sampling_input_validation(spark):
+    from jsonschema_spark.operators import sampling as S
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        S.hash_sample(df, 1.5)
+    with pytest.raises(ValueError):
+        S.assign_splits(df, {})
+    with pytest.raises(ValueError):
+        S.assign_splits(df, {"a": 0.0})
