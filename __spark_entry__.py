@@ -26,7 +26,7 @@ from jsonschema_spark.passes.drift import (
     DriftColumn, observed_histograms, baseline_profile, baseline_from_observed,
     drift_metrics,
 )
-from jsonschema_spark.operators import clustering, dedup, sampling, similarity, text as T
+from jsonschema_spark.operators import clustering, dedup, pii, sampling, similarity, text as T
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -964,6 +964,119 @@ FROM documents
 """
 
 
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic doc_id-derived PII to a subset of docs (the
+    synthetic corpus is word soup with no natural PII — the detectors need
+    non-vacuous input, and the SAME expression is plantable in DuckDB)."""
+    d = F.col("doc_id")
+    piece = lambda mod, s: F.when(d % mod == 0, s).otherwise(F.lit(""))  # noqa: E731
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            piece(5, F.concat(F.lit(" user"), d.cast("string"), F.lit("@example.com"))),
+            piece(7, F.concat(F.lit(" 10.0."), (d % 256).cast("string"),
+                              F.lit("."), (d % 250).cast("string"))),
+            piece(11, F.concat(F.lit(" "), F.format_string("%08x", d),
+                               F.lit("-e89b-12d3-a456-426614174000"))),
+            piece(13, F.concat(F.lit(" 123-45-"),
+                               F.lpad((d % 10000).cast("string"), 4, "0"))),
+            piece(17, F.concat(F.lit(" +1 415 555 0"),
+                               (100 + d % 900).cast("string"))),
+        ),
+    )
+
+
+_SQL_PLANT_PII = """
+SELECT doc_id, text
+  || CASE WHEN doc_id % 5 = 0
+       THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+       THEN ' ' || printf('%08x', doc_id) || '-e89b-12d3-a456-426614174000' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+       THEN ' 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+       THEN ' +1 415 555 0' || CAST(100 + doc_id % 900 AS VARCHAR) ELSE '' END
+  AS text
+FROM documents
+"""
+
+_SQL_PII_RX = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "uuid": "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "ipv4": "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\b",
+    "ssn": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "phone": "\\+[0-9][0-9()\\- ]{7,14}[0-9]\\b",
+}
+
+
+def q_pii_counts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document PII detector counts over planted-PII docs. Pure
+    regexp_extract_all Column exprs (codegen, single scan); detectors stay
+    in the Java-regex ∩ RE2 subset so DuckDB computes the identical counts."""
+    docs = _plant_pii(_t(spark, sf, "documents").select("doc_id", "text"))
+    return pii.pii_counts(docs)
+
+
+SQL_PII_COUNTS_DOCUMENTS = f"""
+WITH planted AS ({_SQL_PLANT_PII}),
+c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_SQL_PII_RX["email"]}')) AS n_email,
+    len(regexp_extract_all(text, '{_SQL_PII_RX["uuid"]}')) AS n_uuid,
+    len(regexp_extract_all(text, '{_SQL_PII_RX["ipv4"]}')) AS n_ipv4,
+    len(regexp_extract_all(text, '{_SQL_PII_RX["ssn"]}')) AS n_ssn,
+    len(regexp_extract_all(text, '{_SQL_PII_RX["phone"]}')) AS n_phone
+  FROM planted
+)
+SELECT doc_id, n_email, n_uuid, n_ipv4, n_ssn, n_phone,
+       n_email + n_uuid + n_ipv4 + n_ssn + n_phone AS n_pii_total
+FROM c WHERE n_email + n_uuid + n_ipv4 + n_ssn + n_phone > 0
+"""
+
+
+def q_pii_findings_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exploded (doc_id, kind, match) findings — the violations-row shape;
+    one scan of the text column, single explode of a stacked per-detector
+    array."""
+    docs = _plant_pii(_t(spark, sf, "documents").select("doc_id", "text"))
+    return pii.pii_findings(docs)
+
+
+SQL_PII_FINDINGS_DOCUMENTS = f"""
+WITH planted AS ({_SQL_PLANT_PII})
+{" UNION ALL ".join(
+    f"SELECT doc_id, '{k}' AS kind, unnest(regexp_extract_all(text, '{rx}')) AS match FROM planted"
+    for k, rx in _SQL_PII_RX.items()
+)}
+"""
+
+
+def q_pii_redact_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Redaction: every detected span replaced by [KIND] in a fixed order
+    (composite shapes first), one chained regexp_replace projection. Output
+    is md5(redacted) so the oracle compares full text equality cheaply."""
+    docs = _plant_pii(_t(spark, sf, "documents").select("doc_id", "text"))
+    return pii.redact(docs).select("doc_id", F.md5("redacted").alias("redacted_md5"))
+
+
+SQL_PII_REDACT_DOCUMENTS = f"""
+WITH planted AS ({_SQL_PLANT_PII})
+SELECT doc_id, md5(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text,
+    '{_SQL_PII_RX["email"]}', '[EMAIL]', 'g'),
+    '{_SQL_PII_RX["uuid"]}', '[UUID]', 'g'),
+    '{_SQL_PII_RX["ipv4"]}', '[IPV4]', 'g'),
+    '{_SQL_PII_RX["ssn"]}', '[SSN]', 'g'),
+    '{_SQL_PII_RX["phone"]}', '[PHONE]', 'g')
+) AS redacted_md5
+FROM planted
+"""
+
+
 def q_minhash_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Full MinHash dedup (LSH candidates + exact-Jaccard verify) — planted
     exact-dup copies of the 50 lowest-id docs guarantee non-vacuous output.
@@ -1501,6 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_documents": q_hash_sample_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "splits_documents": q_splits_documents,
+        "pii_counts_documents": q_pii_counts_documents,
+        "pii_findings_documents": q_pii_findings_documents,
+        "pii_redact_documents": q_pii_redact_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_near_dups_documents": q_simhash_near_dups_documents,
         "hamming_pairs_documents": q_hamming_pairs_documents,
@@ -1553,6 +1669,9 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_documents": SQL_HASH_SAMPLE_DOCUMENTS,
         "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
         "splits_documents": SQL_SPLITS_DOCUMENTS,
+        "pii_counts_documents": SQL_PII_COUNTS_DOCUMENTS,
+        "pii_findings_documents": SQL_PII_FINDINGS_DOCUMENTS,
+        "pii_redact_documents": SQL_PII_REDACT_DOCUMENTS,
         "minhash_dedup_documents": SQL_MINHASH_DEDUP_DOCUMENTS,
         "hamming_pairs_documents": SQL_HAMMING_PAIRS_DOCUMENTS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

@@ -1087,3 +1087,51 @@ def test_sampling_input_validation(spark):
         S.assign_splits(df, {})
     with pytest.raises(ValueError):
         S.assign_splits(df, {"a": 0.0})
+
+
+# ---------------------------------------------- PII scan / redaction
+
+def _pii_df(spark):
+    rows = [
+        (1, "reach me at bob.smith+x@ex-ample.co.uk or +1 (415) 555-0100 today"),
+        (2, "server 192.168.10.42 and 8.8.8.8; bogus 999.1.1.1 must not fully match"),
+        (3, "id 123e4567-e89b-12d3-a456-426614174000 ssn 123-45-6789"),
+        (4, "clean text with nothing sensitive at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_pii_counts_per_detector(spark):
+    from jsonschema_spark.operators import pii
+
+    c = {r["doc_id"]: r.asDict() for r in pii.pii_counts(_pii_df(spark)).collect()}
+    assert 4 not in c  # clean docs never leave the scan stage
+    assert c[1]["n_email"] == 1 and c[1]["n_phone"] == 1
+    assert c[2]["n_ipv4"] == 2  # 999.1.1.1 rejected by the octet grammar
+    assert c[3]["n_uuid"] == 1 and c[3]["n_ssn"] == 1
+    assert c[3]["n_pii_total"] == 2
+
+
+def test_pii_findings_exploded_spans(spark):
+    from jsonschema_spark.operators import pii
+
+    f = {(r["doc_id"], r["kind"], r["match"])
+         for r in pii.pii_findings(_pii_df(spark)).collect()}
+    assert (1, "email", "bob.smith+x@ex-ample.co.uk") in f
+    assert (2, "ipv4", "8.8.8.8") in f
+    assert (3, "ssn", "123-45-6789") in f
+    assert not any(m == "999.1.1.1" for _, _, m in f)
+
+
+def test_pii_redact_masks_all_and_preserves_clean(spark):
+    from jsonschema_spark.operators import pii
+
+    df = _pii_df(spark)
+    r = {x["doc_id"]: x["redacted"] for x in pii.redact(df).collect()}
+    assert "[EMAIL]" in r[1] and "[PHONE]" in r[1] and "@" not in r[1]
+    assert r[2].count("[IPV4]") == 2 and "999.1.1.1" in r[2]
+    assert "[UUID]" in r[3] and "[SSN]" in r[3]
+    assert r[4] == "clean text with nothing sensitive at all"
+    # no shuffle: detection + redaction is one codegen projection on the scan
+    plan = pii.redact(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
