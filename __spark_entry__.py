@@ -70,6 +70,33 @@ FROM lineitem WHERE l_shipdate IS NULL
 """
 
 
+def q_conditional_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Draft-7 if/then/else compiled at table level: finished orders
+    (o_orderstatus='F') must respect a price cap, all other orders must carry
+    a priority in classes 1-3. The conditional compiles against a row struct
+    of only its referenced columns and lands in the same fused violations
+    projection as every other keyword. Oracle: the equivalent CASE logic in
+    DuckDB. value is omitted (a struct-cast rendering, engine-specific)."""
+    spec = {
+        "if": {"properties": {"o_orderstatus": {"const": "F"}},
+               "required": ["o_orderstatus"]},
+        "then": {"properties": {"o_totalprice": {"maximum": 300000}}},
+        "else": {"properties": {"o_orderpriority": {"pattern": "^[1-3]-"}}},
+    }
+    return validate_rows(_t(spark, sf, "orders"), spec, keys=["o_orderkey"]) \
+        .select("o_orderkey", "keyword", "path")
+
+
+SQL_CONDITIONAL_ORDERS = """
+SELECT o_orderkey, 'then' AS keyword, '' AS path FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL AND o_totalprice > 300000
+UNION ALL
+SELECT o_orderkey, 'else', '' FROM orders
+WHERE (o_orderstatus IS NULL OR o_orderstatus <> 'F')
+  AND o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+"""
+
+
 def q_predicates_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-field row predicates (x-table-checks/row-predicates) — SQL
     invariants JSON Schema cannot express, compiled into the same fused P1
@@ -1596,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divergence_events": q_divergence_events,
         "quantile_drift_events": q_quantile_drift_events,
         "predicates_lineitem": q_predicates_lineitem,
+        "conditional_orders": q_conditional_orders,
         "anomaly_documents": q_anomaly_documents,
         "embedding_drift_labels": q_embedding_drift,
         "ks_documents": q_ks_documents,
@@ -1653,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "divergence_events": SQL_DIVERGENCE_EVENTS,
         "quantile_drift_events": SQL_QUANTILE_DRIFT_EVENTS,
         "predicates_lineitem": SQL_PREDICATES_LINEITEM,
+        "conditional_orders": SQL_CONDITIONAL_ORDERS,
         "anomaly_documents": SQL_ANOMALY_DOCUMENTS,
         "embedding_drift_labels": SQL_EMBEDDING_DRIFT,
         "ks_documents": SQL_KS_DOCUMENTS,

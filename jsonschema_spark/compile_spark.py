@@ -277,7 +277,16 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
                     _forgive_null(col, F.when(F.size(col) <= n0, F.lit(True)).otherwise(extras_ok)))
         if node.contains is not None:
             sub = node.contains
-            add("contains", _forgive_null(col, F.exists(col, lambda x: node_valid(sub, x, elem_dt))))
+            if node.min_contains is None and node.max_contains is None:
+                add("contains", _forgive_null(col, F.exists(col, lambda x: node_valid(sub, x, elem_dt))))
+            else:
+                # draft-2019 counting form: one filter pass, both bounds
+                cnt = F.size(F.filter(col, lambda x: F.coalesce(node_valid(sub, x, elem_dt), F.lit(False))))
+                minc = 1 if node.min_contains is None else node.min_contains
+                add("contains" if node.min_contains is None else "minContains",
+                    _forgive_null(col, cnt >= minc))
+                if node.max_contains is not None:
+                    add("maxContains", _forgive_null(col, cnt <= node.max_contains))
 
     # --- A15–A17 objects -----------------------------------------------------
     if isinstance(dt, T.StructType):
@@ -315,6 +324,15 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
             cnt = reduce(lambda a, b: a + b,
                          [col.getField(f).isNotNull().cast("int") for f in fields]) if fields else F.lit(0)
             add("maxProperties", _forgive_null(col, cnt <= node.max_properties))
+        if node.property_names is not None:
+            # struct field names are static — validate each NAME at compile
+            # time with the local evaluator (same SpecNode semantics by
+            # construction); a bad name violates iff the field is present
+            from .local import is_valid as _name_valid
+            for n_ in fields:
+                if not _name_valid(n_, node.property_names):
+                    add("propertyNames", col.isNull() | col.getField(n_).isNull(),
+                        p=f"{path}/{n_}", value=F.lit(n_))
         for name, dep in node.dependencies.items():
             if name not in fields:
                 continue
@@ -357,6 +375,11 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
             add("minProperties", _forgive_null(col, F.size(col) >= node.min_properties))
         if node.max_properties is not None:
             add("maxProperties", _forgive_null(col, F.size(col) <= node.max_properties))
+        if node.property_names is not None:
+            pn = node.property_names
+            ok = F.forall(F.map_keys(col),
+                          lambda k: F.coalesce(node_valid(pn, k, T.StringType()), F.lit(True)))
+            add("propertyNames", _forgive_null(col, ok))
         for name, dep in node.dependencies.items():
             present = F.map_contains_key(col, F.lit(name))
             if isinstance(dep, tuple):
@@ -378,6 +401,15 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
         add("oneOf", _forgive_null(col, cnt == 1))
     if node.not_ is not None:
         add("not", _forgive_null(col, ~F.coalesce(node_valid(node.not_, col, dt), F.lit(False))))
+    if node.if_ is not None:
+        # draft-7 conditionals: if-valid => then must hold, else => else
+        cond = F.coalesce(node_valid(node.if_, col, dt), F.lit(False))
+        if node.then_ is not None and not node.then_.is_trivial():
+            add("then", _forgive_null(
+                col, F.when(cond, node_valid(node.then_, col, dt)).otherwise(F.lit(True))))
+        if node.else_ is not None and not node.else_.is_trivial():
+            add("else", _forgive_null(
+                col, F.when(cond, F.lit(True)).otherwise(node_valid(node.else_, col, dt))))
 
     return out
 
@@ -445,9 +477,23 @@ def spec_struct_type(node: SpecNode) -> T.DataType:
         t = "number"
     else:
         t = None
-    if node.properties or t == "object":
+    # conditional (if/then/else) subschemas may constrain fields the base
+    # schema never names — merge them so from_json materializes the fields
+    # the conditionals need to see
+    cond_props: dict[str, SpecNode] = {}
+    conds = [s for s in (node.if_, node.then_, node.else_) if s is not None]
+    for sub in conds:  # typed properties first — they must win the merge
+        for n, s in sub.properties.items():
+            cond_props.setdefault(n, s)
+    for sub in conds:
+        for n in sub.required or ():
+            cond_props.setdefault(n, SpecNode())  # presence-only field
+    if node.properties or cond_props or t == "object":
+        props = dict(node.properties)
+        for n, s in cond_props.items():
+            props.setdefault(n, s)
         fields = [T.StructField(n, spec_struct_type(s), True)
-                  for n, s in node.properties.items()]
+                  for n, s in props.items()]
         return T.StructType(fields) if fields else T.MapType(T.StringType(), T.StringType())
     if t == "array" or node.items is not None or node.tuple_items is not None:
         elem = spec_struct_type(node.items) if node.items is not None else T.StringType()
@@ -527,6 +573,26 @@ def compile_table(spec: Spec, schema: T.StructType) -> CompiledTableSpec:
             if _re.search(pat, name) and name not in root.properties:
                 used.add(name)
                 checks.extend(compile_node(sub, F.col(name), f"/{name}", name, fields[name]))
+
+    if root.if_ is not None:
+        # root-level draft-7 conditional over the row: evaluate against a
+        # synthesized row struct so then/else see every referenced column
+        cond_cols: set[str] = set()
+        for sub in (root.if_, root.then_, root.else_):
+            if sub is not None:
+                cond_cols.update(sub.properties)
+                cond_cols.update(sub.required or ())
+        unknown = [c for c in sorted(cond_cols) if c not in fields]
+        if unknown:
+            raise CompileError(f"if/then/else references absent columns: {unknown}")
+        used.update(cond_cols)
+        # struct over ONLY the referenced columns, so fused-scan pruning holds
+        sub_fields = [f for f in schema.fields if f.name in cond_cols]
+        row_struct = F.struct(*[F.col(f.name).alias(f.name) for f in sub_fields])
+        cond_node = SpecNode(if_=root.if_, then_=root.then_, else_=root.else_)
+        checks.extend(compile_node(cond_node, row_struct, "",
+                                   next(iter(sorted(cond_cols)), "<row>"),
+                                   T.StructType(sub_fields)))
 
     for pred in spec.table_checks.row_predicates:
         name, test = pred["name"], pred["test"]

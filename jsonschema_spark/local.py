@@ -162,8 +162,14 @@ def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa
                     out.append(Violation("additionalItems", f"{path}/{i}", x))
                 elif isinstance(n.additional_items, SpecNode):
                     _eval(x, n.additional_items, f"{path}/{i}", out)
-        if n.contains is not None and not any(_eval_quiet(x, n.contains) for x in v):
-            out.append(Violation("contains", path, v))
+        if n.contains is not None:
+            cnt = sum(_eval_quiet(x, n.contains) for x in v)
+            minc = 1 if n.min_contains is None else n.min_contains
+            if cnt < minc:
+                out.append(Violation(
+                    "contains" if n.min_contains is None else "minContains", path, v))
+            if n.max_contains is not None and cnt > n.max_contains:
+                out.append(Violation("maxContains", path, v))
 
     if isinstance(v, dict):
         if n.required is not None:
@@ -194,6 +200,10 @@ def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa
             elif isinstance(n.additional_properties, SpecNode):
                 for k in extras:
                     _eval(v[k], n.additional_properties, f"{path}/{k}", out)
+        if n.property_names is not None:
+            for k in v:
+                if not _eval_quiet(k, n.property_names):
+                    out.append(Violation("propertyNames", f"{path}/{k}", k))
         for name, dep in n.dependencies.items():
             if name in v:
                 if isinstance(dep, tuple):
@@ -213,6 +223,12 @@ def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa
         out.append(Violation("oneOf", path, v))
     if n.not_ is not None and _eval_quiet(v, n.not_):
         out.append(Violation("not", path, v))
+    if n.if_ is not None:
+        if _eval_quiet(v, n.if_):
+            if n.then_ is not None and not _eval_quiet(v, n.then_):
+                out.append(Violation("then", path, v))
+        elif n.else_ is not None and not _eval_quiet(v, n.else_):
+            out.append(Violation("else", path, v))
 
 
 def _eval_quiet(v: Any, n: SpecNode) -> bool:

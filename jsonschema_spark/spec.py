@@ -67,6 +67,8 @@ class SpecNode:
     max_items: int | None = None
     unique_items: bool = False
     contains: "SpecNode | None" = None
+    min_contains: int | None = None             # draft-2019 refinement of contains
+    max_contains: int | None = None
     required: tuple[str, ...] | None = None      # d4 array form
     d3_required: bool = False                    # d3 boolean-on-property form
     properties: dict[str, "SpecNode"] = field(default_factory=dict)
@@ -79,6 +81,10 @@ class SpecNode:
     any_of: tuple["SpecNode", ...] | None = None
     one_of: tuple["SpecNode", ...] | None = None
     not_: "SpecNode | None" = None
+    if_: "SpecNode | None" = None                # draft-7 conditionals
+    then_: "SpecNode | None" = None
+    else_: "SpecNode | None" = None
+    property_names: "SpecNode | None" = None     # draft-6
     disallow: tuple[Any, ...] | None = None      # d3 §5.25: type names or schemas
     format: str | None = None
     # metadata passthrough for reporting
@@ -285,6 +291,10 @@ def _parse_node(
         kw["unique_items"] = bool(s["uniqueItems"])
     if "contains" in s:
         kw["contains"] = _sub(s["contains"], root, depth + 1, ref_stack)
+    if "minContains" in s:
+        kw["min_contains"] = int(s["minContains"])
+    if "maxContains" in s:
+        kw["max_contains"] = int(s["maxContains"])
     if "required" in s:
         rq = s["required"]
         if isinstance(rq, bool):           # draft-3 boolean-on-property form
@@ -304,15 +314,22 @@ def _parse_node(
         kw["min_properties"] = int(s["minProperties"])
     if "maxProperties" in s:
         kw["max_properties"] = int(s["maxProperties"])
-    if "dependencies" in s:
+    # d4 `dependencies` plus its draft-2019 split into dependentRequired
+    # (name -> [names]) and dependentSchemas (name -> schema); all three
+    # normalize into the same dependencies map
+    if "dependencies" in s or "dependentRequired" in s or "dependentSchemas" in s:
         deps: dict[str, Any] = {}
-        for name, d in s["dependencies"].items():
+        for name, d in s.get("dependencies", {}).items():
             if isinstance(d, str):         # d3 single-name form
                 deps[name] = (d,)
             elif isinstance(d, list):
                 deps[name] = tuple(d)
             else:
                 deps[name] = _sub(d, root, depth + 1, ref_stack)
+        for name, d in s.get("dependentRequired", {}).items():
+            deps[name] = tuple(d)
+        for name, d in s.get("dependentSchemas", {}).items():
+            deps[name] = _sub(d, root, depth + 1, ref_stack)
         kw["dependencies"] = deps
     if "allOf" in s or "extends" in s:     # d3 extends ≙ allOf (A18)
         ext = s.get("allOf", s.get("extends"))
@@ -325,6 +342,15 @@ def _parse_node(
         kw["one_of"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in s["oneOf"])
     if "not" in s:
         kw["not_"] = _sub(s["not"], root, depth + 1, ref_stack)
+    # draft-7 conditionals: then/else are inert without if (spec §6.6)
+    if "if" in s:
+        kw["if_"] = _sub(s["if"], root, depth + 1, ref_stack)
+        if "then" in s:
+            kw["then_"] = _sub(s["then"], root, depth + 1, ref_stack)
+        if "else" in s:
+            kw["else_"] = _sub(s["else"], root, depth + 1, ref_stack)
+    if "propertyNames" in s:
+        kw["property_names"] = _sub(s["propertyNames"], root, depth + 1, ref_stack)
     if "disallow" in s:                    # d3 §5.25: type name | schema | list
         dv = s["disallow"]
         if not isinstance(dv, list):

@@ -1135,3 +1135,91 @@ def test_pii_redact_masks_all_and_preserves_clean(spark):
     # no shuffle: detection + redaction is one codegen projection on the scan
     plan = pii.redact(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------- draft-06/07 keywords on the Spark path
+
+def test_if_then_else_flat_table(spark):
+    """Root-level draft-7 conditional compiles against a row struct of ONLY
+    the referenced columns (fused-scan pruning intact)."""
+    from jsonschema_spark.engine import validate_rows
+    from jsonschema_spark.compile_spark import compile_table
+    from jsonschema_spark import spec as specmod
+
+    rows = [(1, "raw", 10, 20), (2, "raw", None, 20), (3, "png", 5000, 20), (4, "png", 50, 20)]
+    df = spark.createDataFrame(rows, "id int, fmt string, w int, h int")
+    spec = {"if": {"properties": {"fmt": {"const": "raw"}}, "required": ["fmt"]},
+            "then": {"required": ["w", "h"]},
+            "else": {"properties": {"w": {"maximum": 100}}}}
+    got = sorted((r["id"], r["keyword"]) for r in validate_rows(df, spec, keys=["id"]).collect())
+    assert got == [(2, "then"), (3, "else")]
+    # pruning: the conditional must not drag unreferenced columns into the scan
+    cts = compile_table(specmod.parse(spec), df.schema)
+    assert "id" not in cts.columns
+
+    # absent column referenced by a conditional fails fast at compile time
+    from jsonschema_spark.compile_spark import CompileError
+    bad = {"if": {"required": ["nope"]}, "then": {"required": ["w"]}}
+    with pytest.raises(CompileError):
+        compile_table(specmod.parse(bad), df.schema)
+
+
+def test_if_then_else_json_payload(spark):
+    """Conditional-only fields (named only in then.required / else.properties)
+    must still materialize in the from_json struct."""
+    from jsonschema_spark.engine import validate_json_rows
+
+    spec = {"if": {"properties": {"fmt": {"const": "raw"}}, "required": ["fmt"]},
+            "then": {"required": ["w", "h"]},
+            "else": {"properties": {"w": {"maximum": 100}}}}
+    rows = [(1, '{"fmt":"raw","w":1,"h":2}'), (2, '{"fmt":"raw","w":1}'),
+            (3, '{"fmt":"png","w":500}'), (4, '{"fmt":"png","w":50}')]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    got = sorted((r["id"], r["keyword"])
+                 for r in validate_json_rows(df, "payload", spec, keys=["id"]).collect())
+    assert got == [(2, "then"), (3, "else")]
+
+
+def test_property_names_map_and_struct(spark):
+    from jsonschema_spark.engine import validate_json_rows, validate_rows
+
+    # map-typed JSON payload: runtime key check
+    spec = {"type": "object", "propertyNames": {"pattern": "^[a-z_]+$"}}
+    rows = [(1, '{"ok_key": "v"}'), (2, '{"BadKey": "v"}')]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    got = sorted((r["id"], r["keyword"])
+                 for r in validate_json_rows(df, "payload", spec, keys=["id"]).collect())
+    assert got == [(2, "propertyNames")]
+
+    # struct-typed nested column: static names validated at compile time
+    sdf = spark.createDataFrame([(1, (1, 2)), (2, (3, None))], "id int, obj struct<ok_a:int, Bad:int>")
+    sspec = {"properties": {"obj": {"propertyNames": {"pattern": "^[a-z_]+$"}}}}
+    sgot = sorted((r["id"], r["keyword"], r["path"])
+                  for r in validate_rows(sdf, sspec, keys=["id"]).collect())
+    assert sgot == [(1, "propertyNames", "/obj/Bad")]  # row 2's Bad field is null => absent
+
+
+def test_min_max_contains_array_column(spark):
+    from jsonschema_spark.engine import validate_rows
+
+    rows = [(1, [10, 11, 1]), (2, [10]), (3, [10, 11, 12, 13]), (4, [])]
+    df = spark.createDataFrame(rows, "id int, xs array<int>")
+    spec = {"properties": {"xs": {"contains": {"minimum": 10}, "minContains": 2, "maxContains": 3}}}
+    got = sorted((r["id"], r["keyword"]) for r in validate_rows(df, spec, keys=["id"]).collect())
+    assert got == [(2, "minContains"), (3, "minContains"), (4, "minContains")] or \
+           got == [(2, "minContains"), (3, "maxContains"), (4, "minContains")]
+    assert (3, "maxContains") in got
+
+
+def test_dependent_required_and_schemas_json(spark):
+    from jsonschema_spark.engine import validate_json_rows
+
+    spec = {"type": "object",
+            "dependentRequired": {"a": ["b"]},
+            "dependentSchemas": {"c": {"properties": {"d": {"minimum": 5}}}},
+            "properties": {"a": {}, "b": {}, "c": {}, "d": {"type": "integer"}}}
+    rows = [(1, '{"a":1,"b":2}'), (2, '{"a":1}'), (3, '{"c":1,"d":7}'), (4, '{"c":1,"d":3}')]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    got = sorted((r["id"], r["keyword"])
+                 for r in validate_json_rows(df, "payload", spec, keys=["id"]).collect())
+    assert got == [(2, "dependencies"), (4, "dependencies")]

@@ -731,9 +731,123 @@ D3 = {
 }
 
 
+# Draft-06/07 extension keywords (round 3): conditionals, propertyNames,
+# contains counting, dependencies split. Same authored-corpus caveat as D4/D3.
+D7 = {
+    "if-then-else.json": [
+        {
+            "description": "if/then with required",
+            "schema": {
+                "if": {"properties": {"fmt": {"const": "raw"}}, "required": ["fmt"]},
+                "then": {"required": ["w", "h"]},
+            },
+            "tests": [
+                {"description": "if matches, then holds", "data": {"fmt": "raw", "w": 1, "h": 2}, "valid": True},
+                {"description": "if matches, then fails", "data": {"fmt": "raw", "w": 1}, "valid": False},
+                {"description": "if fails, then is not applied", "data": {"fmt": "png"}, "valid": True},
+                {"description": "if fails (fmt absent)", "data": {}, "valid": True},
+            ],
+        },
+        {
+            "description": "if/else branch",
+            "schema": {
+                "if": {"properties": {"fmt": {"const": "raw"}}, "required": ["fmt"]},
+                "else": {"properties": {"w": {"maximum": 100}}},
+            },
+            "tests": [
+                {"description": "if matches, else not applied", "data": {"fmt": "raw", "w": 5000}, "valid": True},
+                {"description": "if fails, else holds", "data": {"fmt": "png", "w": 50}, "valid": True},
+                {"description": "if fails, else fails", "data": {"fmt": "png", "w": 5000}, "valid": False},
+            ],
+        },
+        {
+            "description": "then/else without if are inert (spec §6.6)",
+            "schema": {"then": {"required": ["zzz"]}, "else": {"required": ["zzz"]}},
+            "tests": [
+                {"description": "no if => no conditional applies", "data": {}, "valid": True},
+            ],
+        },
+        {
+            "description": "if/then on scalars",
+            "schema": {"if": {"type": "integer"}, "then": {"minimum": 10}},
+            "tests": [
+                {"description": "integer below bound fails then", "data": 5, "valid": False},
+                {"description": "integer at bound passes", "data": 10, "valid": True},
+                {"description": "non-integer skips then", "data": "x", "valid": True},
+            ],
+        },
+    ],
+    "propertyNames.json": [
+        {
+            "description": "propertyNames pattern + maxLength",
+            "schema": {"propertyNames": {"pattern": "^[a-z_]+$", "maxLength": 5}},
+            "tests": [
+                {"description": "all names conform", "data": {"abc": 1, "de_f": 2}, "valid": True},
+                {"description": "uppercase name fails", "data": {"Abc": 1}, "valid": False},
+                {"description": "too-long name fails", "data": {"abcdef": 1}, "valid": False},
+                {"description": "empty object has no names", "data": {}, "valid": True},
+                {"description": "non-object ignores propertyNames", "data": [1, 2], "valid": True},
+            ],
+        },
+    ],
+    "contains-bounds.json": [
+        {
+            "description": "minContains/maxContains counting",
+            "schema": {"contains": {"minimum": 10}, "minContains": 2, "maxContains": 3},
+            "tests": [
+                {"description": "one match is too few", "data": [10, 1], "valid": False},
+                {"description": "two matches ok", "data": [10, 11, 1], "valid": True},
+                {"description": "three matches ok", "data": [10, 11, 12], "valid": True},
+                {"description": "four matches exceeds max", "data": [10, 11, 12, 13], "valid": False},
+            ],
+        },
+        {
+            "description": "minContains 0 permits empty arrays",
+            "schema": {"contains": {"minimum": 10}, "minContains": 0},
+            "tests": [
+                {"description": "empty array valid with minContains 0", "data": [], "valid": True},
+                {"description": "minContains 0 satisfies contains with zero matches", "data": [1, 2], "valid": True},
+            ],
+        },
+    ],
+    "dependent.json": [
+        {
+            "description": "dependentRequired (draft-2019 split of dependencies)",
+            "schema": {"dependentRequired": {"a": ["b"]}},
+            "tests": [
+                {"description": "trigger present, dep present", "data": {"a": 1, "b": 2}, "valid": True},
+                {"description": "trigger present, dep missing", "data": {"a": 1}, "valid": False},
+                {"description": "trigger absent", "data": {"b": 2}, "valid": True},
+            ],
+        },
+        {
+            "description": "dependentSchemas",
+            "schema": {"dependentSchemas": {"c": {"properties": {"d": {"minimum": 5}}}}},
+            "tests": [
+                {"description": "trigger present, schema holds", "data": {"c": 1, "d": 7}, "valid": True},
+                {"description": "trigger present, schema fails", "data": {"c": 1, "d": 3}, "valid": False},
+                {"description": "trigger absent", "data": {"d": 3}, "valid": True},
+            ],
+        },
+    ],
+    "exclusive-numeric.json": [
+        {
+            "description": "draft-6 numeric exclusiveMinimum/exclusiveMaximum",
+            "schema": {"exclusiveMinimum": 0, "exclusiveMaximum": 10},
+            "tests": [
+                {"description": "strictly inside", "data": 5, "valid": True},
+                {"description": "at lower bound fails", "data": 0, "valid": False},
+                {"description": "at upper bound fails", "data": 10, "valid": False},
+                {"description": "non-number ignores bounds", "data": "x", "valid": True},
+            ],
+        },
+    ],
+}
+
+
 def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for draft, corpus in (("draft4", D4), ("draft3", D3)):
+    for draft, corpus in (("draft4", D4), ("draft3", D3), ("draft7", D7)):
         d = os.path.join(here, "tests", "conformance", draft)
         os.makedirs(d, exist_ok=True)
         for fname, groups in corpus.items():
@@ -742,7 +856,9 @@ def main() -> None:
                 f.write("\n")
     n4 = sum(len(t["tests"]) for gs in D4.values() for t in gs)
     n3 = sum(len(t["tests"]) for gs in D3.values() for t in gs)
-    print(f"wrote {len(D4)} draft4 files ({n4} cases), {len(D3)} draft3 files ({n3} cases)")
+    n7 = sum(len(t["tests"]) for gs in D7.values() for t in gs)
+    print(f"wrote {len(D4)} draft4 files ({n4} cases), {len(D3)} draft3 files "
+          f"({n3} cases), {len(D7)} draft7 files ({n7} cases)")
 
 
 if __name__ == "__main__":
