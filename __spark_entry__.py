@@ -97,6 +97,36 @@ WHERE (o_orderstatus IS NULL OR o_orderstatus <> 'F')
 """
 
 
+def q_content_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Draft-7 contentEncoding/contentMediaType (asserting mode) through the
+    compiled Spark path. A base64 payload is synthesized deterministically
+    from each document — doc_id%7==0 rows get corrupted base64, doc_id%3==0
+    rows get a real PNG signature prefix, the rest are valid base64 that is
+    NOT a PNG — so both keywords fire non-vacuously and the expected set is
+    pure doc_id arithmetic for the oracle. The engine genuinely sniffs the
+    decoded magic bytes (hex-prefix compare, whole-stage codegen)."""
+    df = _t(spark, sf, "documents").withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.base64(F.unhex(F.md5("text"))), F.lit("!")))
+         .when(F.col("doc_id") % 3 == 0,
+               F.base64(F.concat(F.unhex(F.lit("89504E470D0A1A0A")),
+                                 F.unhex(F.md5("text")))))
+         .otherwise(F.base64(F.unhex(F.md5("text")))))
+    spec = {"properties": {"payload": {"contentEncoding": "base64",
+                                       "contentMediaType": "image/png"}}}
+    return validate_rows(df, spec, keys=["doc_id"]).select("doc_id", "keyword", "path")
+
+
+SQL_CONTENT_DOCUMENTS = """
+SELECT doc_id, 'contentEncoding' AS keyword, '/payload' AS path
+FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'contentMediaType', '/payload'
+FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0 AND doc_id % 3 <> 0
+"""
+
+
 def q_predicates_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-field row predicates (x-table-checks/row-predicates) — SQL
     invariants JSON Schema cannot express, compiled into the same fused P1
@@ -1624,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_drift_events": q_quantile_drift_events,
         "predicates_lineitem": q_predicates_lineitem,
         "conditional_orders": q_conditional_orders,
+        "content_documents": q_content_documents,
         "anomaly_documents": q_anomaly_documents,
         "embedding_drift_labels": q_embedding_drift,
         "ks_documents": q_ks_documents,
@@ -1682,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_drift_events": SQL_QUANTILE_DRIFT_EVENTS,
         "predicates_lineitem": SQL_PREDICATES_LINEITEM,
         "conditional_orders": SQL_CONDITIONAL_ORDERS,
+        "content_documents": SQL_CONTENT_DOCUMENTS,
         "anomaly_documents": SQL_ANOMALY_DOCUMENTS,
         "embedding_drift_labels": SQL_EMBEDDING_DRIFT,
         "ks_documents": SQL_KS_DOCUMENTS,

@@ -26,6 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import formats
 from .formats import FORMAT_REGEXES
 from .spec import Spec, SpecNode
 from . import sqlglue
@@ -239,6 +240,31 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
             add("pattern", _forgive_null(col, col.rlike(sqlglue.to_java_regex(node.pattern))))
         if node.format is not None and node.format in FORMAT_REGEXES:
             add("format", _forgive_null(col, col.rlike(FORMAT_REGEXES[node.format])))
+        # draft-7 §8 content keywords, asserting mode (formats.py rationale).
+        # All JVM-side: base64 shape via rlike; media type via a hex-prefix
+        # compare on the (lazily, when-guarded) decoded bytes.
+        if node.content_encoding == "base64":
+            add("contentEncoding", _forgive_null(col, col.rlike(formats.BASE64_RE)))
+        if node.content_media_type is not None:
+            mt = node.content_media_type
+            if node.content_encoding == "base64":
+                blob = F.unbase64(col)
+            else:
+                blob = col.cast("binary")  # raw string: bytes are its UTF-8
+            if mt == "application/json":
+                ok = F.try_parse_json(col if node.content_encoding is None
+                                      else blob.cast("string")).isNotNull()
+            elif mt in formats.MEDIA_TYPE_MAGIC:
+                magic = formats.MEDIA_TYPE_MAGIC[mt]
+                ok = F.hex(F.substring(blob, 1, len(magic))) == magic.hex().upper()
+                if mt == "image/webp":
+                    ok = ok & (F.hex(F.substring(blob, 9, 4)) == b"WEBP".hex().upper())
+            else:
+                ok = F.lit(True)  # unknown media type: permissive
+            if node.content_encoding == "base64":
+                # decode-failure is contentEncoding's violation, not this one's
+                ok = F.when(col.rlike(formats.BASE64_RE), ok).otherwise(F.lit(True))
+            add("contentMediaType", _forgive_null(col, ok))
 
     # --- A10–A13 arrays ------------------------------------------------------
     if isinstance(dt, T.ArrayType) or (dt is None and (

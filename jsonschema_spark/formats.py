@@ -34,6 +34,23 @@ IPV6_RE = (
     r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:))$"
 )
 URI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"
+# draft-6/7 additions (round 3). Pragmatic RFC approximations, same
+# Java/Python-common dialect as the rest of the table.
+URI_REFERENCE_RE = r"^[^\s<>\\^`{|}]*$"          # RFC 3986 URI-reference: no ws/delims
+URI_TEMPLATE_RE = r"^([^\x00-\x20{}<>\\^`|]|\{[^{}]+\})*$"  # RFC 6570 level-1 shape
+JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"         # RFC 6901
+REL_JSON_POINTER_RE = r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$"
+UUID_RE = r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+DURATION_RE = (  # ISO 8601 / RFC 3339 appendix-A duration
+    r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?!$)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$"
+)
+# idn-* / iri variants: permissive — ASCII rules relaxed to any non-space,
+# non-delimiter unicode (full IDNA/UTS-46 tables are out of scope; the spec
+# marks format as best-effort and these never reject a valid identifier).
+IDN_EMAIL_RE = r"^[^@\s]+@[^@\s]+$"
+IDN_HOSTNAME_RE = r"^[^\s.]([^\s]{0,252})?$"
+IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"
+IRI_REFERENCE_RE = r"^[^\s<>\\^`{|}]*$"
 COLOR_RE = r"^(#[0-9A-Fa-f]{3}|#[0-9A-Fa-f]{6}|[a-zA-Z]+)$"
 PHONE_RE = r"^\+?[0-9 ().-]{5,}$"
 # engine extension formats (SURVEY.md A32, BASELINE.json:15 columns)
@@ -51,6 +68,16 @@ FORMAT_REGEXES: dict[str, str] = {
     "ip-address": IPV4_RE,
     "ipv6": IPV6_RE,
     "uri": URI_RE,
+    "uri-reference": URI_REFERENCE_RE,
+    "uri-template": URI_TEMPLATE_RE,
+    "json-pointer": JSON_POINTER_RE,
+    "relative-json-pointer": REL_JSON_POINTER_RE,
+    "uuid": UUID_RE,
+    "duration": DURATION_RE,
+    "idn-email": IDN_EMAIL_RE,
+    "idn-hostname": IDN_HOSTNAME_RE,
+    "iri": IRI_RE,
+    "iri-reference": IRI_REFERENCE_RE,
     "color": COLOR_RE,
     "phone": PHONE_RE,
     "image-fmt": IMAGE_FMT_RE,
@@ -58,6 +85,49 @@ FORMAT_REGEXES: dict[str, str] = {
     # Kept in the regex table so the Spark backend enforces it identically.
     "utc-millisec": r"^\d+$",
 }
+
+
+# --- draft-7 content keywords (§8) --------------------------------------
+# The draft marks contentEncoding/contentMediaType SHOULD-validate; this is
+# a validation engine, so both ASSERT (documented divergence from the
+# annotate-only reading some libraries take). Base64 is the only encoding
+# in the draft-7 registry we support; media types are sniffed by magic
+# bytes — the natural check for an image+caption table, and expressible as
+# a hex-prefix compare that stays inside whole-stage codegen.
+BASE64_RE = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+# media type -> (offset, magic bytes); offset 0 unless noted
+MEDIA_TYPE_MAGIC: dict[str, bytes] = {
+    "image/png": b"\x89PNG\r\n\x1a\n",
+    "image/jpeg": b"\xff\xd8\xff",
+    "image/gif": b"GIF8",
+    "image/bmp": b"BM",
+    "image/webp": b"RIFF",  # RIFF container; bytes 8-11 say WEBP (checked locally)
+}
+
+
+def check_base64(s: str) -> bool:
+    return re.fullmatch(BASE64_RE, s) is not None
+
+
+def check_media_type(data: bytes | str, media_type: str) -> bool:
+    """Local-evaluator media-type check on decoded (or raw) content."""
+    if media_type == "application/json":
+        import json
+        try:
+            json.loads(data if isinstance(data, str) else data.decode("utf-8"))
+            return True
+        except (ValueError, UnicodeDecodeError):
+            return False
+    magic = MEDIA_TYPE_MAGIC.get(media_type)
+    if magic is None:
+        return True  # unknown media type: permissive (never reject valid data)
+    b = data.encode("utf-8", "surrogateescape") if isinstance(data, str) else data
+    if not b.startswith(magic):
+        return False
+    if media_type == "image/webp":
+        return len(b) >= 12 and b[8:12] == b"WEBP"
+    return True
 
 
 def _check_regex_format(s: str) -> bool:

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from .spec import Spec, SpecNode, parse_node
+from . import formats
 from .formats import FORMAT_CHECKERS
 
 
@@ -138,6 +139,16 @@ def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa
             chk = FORMAT_CHECKERS.get(n.format)
             if chk is not None and not chk(v):
                 out.append(Violation("format", path, v))
+        # draft-7 §8 content keywords (asserting mode — formats.py rationale)
+        if n.content_encoding == "base64" and not formats.check_base64(v):
+            out.append(Violation("contentEncoding", path, v))
+        elif n.content_media_type is not None:
+            data: bytes | str = v
+            if n.content_encoding == "base64":
+                import base64
+                data = base64.b64decode(v)
+            if not formats.check_media_type(data, n.content_media_type):
+                out.append(Violation("contentMediaType", path, v))
 
     if isinstance(v, list):
         if n.min_items is not None and len(v) < n.min_items:

@@ -85,6 +85,8 @@ class SpecNode:
     then_: "SpecNode | None" = None
     else_: "SpecNode | None" = None
     property_names: "SpecNode | None" = None     # draft-6
+    content_encoding: str | None = None          # draft-7 §8 (asserting mode)
+    content_media_type: str | None = None
     disallow: tuple[Any, ...] | None = None      # d3 §5.25: type names or schemas
     format: str | None = None
     # metadata passthrough for reporting
@@ -351,6 +353,10 @@ def _parse_node(
             kw["else_"] = _sub(s["else"], root, depth + 1, ref_stack)
     if "propertyNames" in s:
         kw["property_names"] = _sub(s["propertyNames"], root, depth + 1, ref_stack)
+    if "contentEncoding" in s:
+        kw["content_encoding"] = s["contentEncoding"]
+    if "contentMediaType" in s:
+        kw["content_media_type"] = s["contentMediaType"]
     if "disallow" in s:                    # d3 §5.25: type name | schema | list
         dv = s["disallow"]
         if not isinstance(dv, list):

@@ -1223,3 +1223,62 @@ def test_dependent_required_and_schemas_json(spark):
     got = sorted((r["id"], r["keyword"])
                  for r in validate_json_rows(df, "payload", spec, keys=["id"]).collect())
     assert got == [(2, "dependencies"), (4, "dependencies")]
+
+
+# --------------------------------------- draft-7 content keywords (Spark path)
+
+def test_content_encoding_and_media_type(spark):
+    """contentEncoding=base64 + contentMediaType=image/png, asserting mode:
+    base64 shape via rlike, PNG signature via hex-prefix compare on the
+    decoded bytes. Invalid base64 reports contentEncoding only (decode
+    failure is not the media type's violation)."""
+    import base64
+    from jsonschema_spark.engine import validate_rows
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    good = base64.b64encode(png).decode()
+    rows = [(1, good), (2, good + "!"),
+            (3, base64.b64encode(b"JUNKJUNKJUNK").decode()), (4, None)]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    spec = {"properties": {"payload": {"contentEncoding": "base64",
+                                       "contentMediaType": "image/png"}}}
+    got = sorted((r["id"], r["keyword"])
+                 for r in validate_rows(df, spec, keys=["id"]).collect())
+    assert got == [(2, "contentEncoding"), (3, "contentMediaType")]
+
+
+def test_content_media_type_webp_and_json(spark):
+    import base64
+    from jsonschema_spark.engine import validate_rows
+
+    # webp needs RIFF at 0 AND WEBP at offset 8
+    webp = base64.b64encode(b"RIFF\x00\x00\x00\x00WEBPVP8 ").decode()
+    riff_only = base64.b64encode(b"RIFF\x00\x00\x00\x00AAAAVP8 ").decode()
+    df = spark.createDataFrame([(1, webp), (2, riff_only)], "id int, p string")
+    spec = {"properties": {"p": {"contentEncoding": "base64",
+                                 "contentMediaType": "image/webp"}}}
+    got = sorted((r["id"], r["keyword"])
+                 for r in validate_rows(df, spec, keys=["id"]).collect())
+    assert got == [(2, "contentMediaType")]
+
+    # application/json on a raw (unencoded) string column
+    df2 = spark.createDataFrame([(1, '{"a": 1}'), (2, "[1,2]"), (3, "nope")],
+                                "id int, p string")
+    got2 = sorted((r["id"], r["keyword"]) for r in validate_rows(
+        df2, {"properties": {"p": {"contentMediaType": "application/json"}}},
+        keys=["id"]).collect())
+    assert got2 == [(3, "contentMediaType")]
+
+
+def test_draft7_formats_spark_path(spark):
+    from jsonschema_spark.engine import validate_rows
+
+    rows = [(1, "123e4567-e89b-12d3-a456-426614174000", "P1DT2H", "/a/b~1c"),
+            (2, "not-a-uuid", "P", "a/b")]
+    df = spark.createDataFrame(rows, "id int, u string, d string, jp string")
+    spec = {"properties": {"u": {"format": "uuid"},
+                           "d": {"format": "duration"},
+                           "jp": {"format": "json-pointer"}}}
+    got = sorted((r["id"], r["path"])
+                 for r in validate_rows(df, spec, keys=["id"]).collect())
+    assert got == [(2, "/d"), (2, "/jp"), (2, "/u")]

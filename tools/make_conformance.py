@@ -830,6 +830,61 @@ D7 = {
             ],
         },
     ],
+    "content.json": [
+        {
+            "description": "contentEncoding base64 (asserting mode)",
+            "schema": {"contentEncoding": "base64"},
+            "tests": [
+                {"description": "valid base64", "data": "aGVsbG8=", "valid": True},
+                {"description": "bad alphabet", "data": "aGVsbG8!", "valid": False},
+                {"description": "bad padding length", "data": "aGVsbG8", "valid": False},
+                {"description": "empty string is valid base64", "data": "", "valid": True},
+                {"description": "non-string ignores contentEncoding", "data": 7, "valid": True},
+            ],
+        },
+        {
+            "description": "contentMediaType image/png over base64",
+            "schema": {"contentEncoding": "base64", "contentMediaType": "image/png"},
+            "tests": [
+                # iVBORw0KGgo= is base64 of the 8-byte PNG signature
+                {"description": "png magic", "data": "iVBORw0KGgo=", "valid": True},
+                {"description": "valid base64, wrong magic", "data": "aGVsbG8gd29ybGQ=", "valid": False},
+                {"description": "invalid base64 reports encoding not media type",
+                 "data": "iVBORw0KGgo!", "valid": False},
+            ],
+        },
+        {
+            "description": "contentMediaType application/json on raw string",
+            "schema": {"contentMediaType": "application/json"},
+            "tests": [
+                {"description": "object payload", "data": "{\"a\": 1}", "valid": True},
+                {"description": "array payload", "data": "[1, 2]", "valid": True},
+                {"description": "not json", "data": "nope", "valid": False},
+            ],
+        },
+    ],
+    "formats7.json": [
+        {
+            "description": "draft-6/7 format additions",
+            "schema": {"properties": {
+                "u": {"format": "uuid"}, "d": {"format": "duration"},
+                "jp": {"format": "json-pointer"}, "rjp": {"format": "relative-json-pointer"},
+                "ur": {"format": "uri-reference"}, "ut": {"format": "uri-template"},
+            }},
+            "tests": [
+                {"description": "all valid",
+                 "data": {"u": "123e4567-e89b-12d3-a456-426614174000", "d": "P1DT2H",
+                          "jp": "/a/b~1c", "rjp": "1/a", "ur": "/rel?q=1", "ut": "/users/{id}"},
+                 "valid": True},
+                {"description": "bad uuid", "data": {"u": "xyz"}, "valid": False},
+                {"description": "bad duration (bare P)", "data": {"d": "P"}, "valid": False},
+                {"description": "bad pointer (no leading slash)", "data": {"jp": "a/b"}, "valid": False},
+                {"description": "bad relative pointer", "data": {"rjp": "/a"}, "valid": False},
+                {"description": "uri-reference rejects whitespace", "data": {"ur": "has space"}, "valid": False},
+                {"description": "unclosed template brace", "data": {"ut": "/users/{id"}, "valid": False},
+            ],
+        },
+    ],
     "exclusive-numeric.json": [
         {
             "description": "draft-6 numeric exclusiveMinimum/exclusiveMaximum",
