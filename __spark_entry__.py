@@ -1582,6 +1582,95 @@ FROM documents
 """
 
 
+def q_repetition_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style intra-doc repetition filters (duplicate-line and
+    duplicate-word fractions), pure scan-side Column exprs — no shuffle.
+    The synthetic corpus has no newlines, so ' table ' serves as the line
+    separator to make line metrics non-vacuous."""
+    return T.repetition_metrics(_t(spark, sf, "documents"), line_sep=" table ")
+
+
+SQL_REPETITION_DOCUMENTS = """
+WITH s AS (
+  SELECT doc_id,
+         string_split(text, ' table ') AS lines,
+         regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       ROUND(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6) AS dup_line_frac,
+       len(ws) AS n_words,
+       ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6) AS dup_word_frac
+FROM s
+"""
+
+
+def q_top2gram_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Top word-2-gram character fraction (the Gopher repetition filter):
+    explode 2-grams (non-distinct), hash-agg per (doc, gram), per-doc window
+    max with a deterministic (count desc, gram asc) tie-break."""
+    return T.top_ngram_fraction(_t(spark, sf, "documents"), n=2)
+
+
+SQL_TOP2GRAM_DOCUMENTS = """
+WITH w AS (
+  SELECT doc_id, len(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS wl
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, n_chars, wl[i] || ' ' || wl[i+1] AS gram
+  FROM w, UNNEST(range(1, len(wl))) AS t(i)
+),
+c AS (
+  SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c
+)
+SELECT doc_id, gram AS top_gram, cnt AS top_gram_count,
+       ROUND(cnt * len(gram) * 1.0 / n_chars, 6) AS top_gram_char_frac
+FROM r WHERE rn = 1
+"""
+
+
+def q_decontam_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (published GPT-3/PaLM procedure): flag
+    corpus docs sharing >=1 distinct word 3-gram with a benchmark set —
+    here benchmark = doc_id%37==0 docs, corpus = the rest, so the expected
+    set is engine-independent. The benchmark shingle set is broadcast; the
+    corpus shingle stream never shuffles."""
+    from jsonschema_spark.operators import decontam
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    benchmark = docs.where(F.col("doc_id") % 37 == 0)
+    return decontam.contamination_hits(corpus, benchmark, n=3)
+
+
+SQL_DECONTAM_DOCUMENTS = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+  FROM w, UNNEST(range(1, GREATEST(len(wl) - 1, 1))) AS t(i)
+  WHERE len(wl) >= 3
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0
+)
+SELECT doc_id, count(*) AS n_contaminated_grams
+FROM sh JOIN bench USING (shingle)
+WHERE doc_id % 37 <> 0
+GROUP BY 1
+"""
+
+
 def q_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
     return T.fingerprints(_t(spark, sf, "documents"))
 
@@ -1692,6 +1781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": q_langid_documents,
         "quality_documents": q_quality_documents,
         "token_counts_documents": q_token_counts_documents,
+        "repetition_documents": q_repetition_documents,
+        "top2gram_documents": q_top2gram_documents,
+        "decontam_documents": q_decontam_documents,
         "fingerprints_documents": q_fingerprints_documents,
         "images_full_suite": q_images_full_suite,
     }
@@ -1745,6 +1837,9 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": SQL_LANGID_DOCUMENTS,
         "quality_documents": SQL_QUALITY_DOCUMENTS,
         "token_counts_documents": SQL_TOKEN_COUNTS_DOCUMENTS,
+        "repetition_documents": SQL_REPETITION_DOCUMENTS,
+        "top2gram_documents": SQL_TOP2GRAM_DOCUMENTS,
+        "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
         # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
         # have no DuckDB twin → rows-only checks + pytest goldens. The

@@ -110,3 +110,81 @@ def rolling_fingerprints(
     return df.select(
         F.col(id_col), F.array_min(grams).alias("min_gram_hash"), F.size(w).alias("n_tokens")
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Per-doc intra-document repetition signals (Gopher-style quality
+    filters, Rae et al. 2021 §A1.1): duplicate-line fraction and
+    duplicate-word fraction. Pure Column expressions — computed scan-side in
+    one codegen projection, NO shuffle (plan-asserted in tests), so at
+    10^12 docs this is free riding on whatever scan already runs.
+
+    ``line_sep`` is a Java-regex pattern (default newline); callers with
+    regex-metachar separators must escape them. Fractions are 0.0 for docs
+    with a single line/word; null text stays null.
+    """
+    lines = F.split(F.col(text_col), line_sep)
+    ws = words(F.col(text_col))
+    n_lines = F.size(lines)
+    n_words = F.size(ws)
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines, 6
+        ).alias("dup_line_frac"),
+        n_words.alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(ws)) / n_words, 6
+        ).alias("dup_word_frac"),
+    )
+
+
+def top_ngram_fraction(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fraction of each document's characters covered by its single most
+    frequent word n-gram (the Gopher "top n-gram character fraction" repetition
+    filter). Shape at scale: explode n-grams (NOT distinct — counts matter),
+    one hash agg keyed by (doc, gram) with map-side combine, then a per-doc
+    window max. Keys are per-document so no hot key can form; gram counts per
+    doc are bounded by doc length. Deterministic tie-break: highest count,
+    then lexicographically smallest gram.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
+                  words(F.col(text_col)).alias("_words"))
+    grams = F.when(
+        F.size("_words") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_words") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_words", (i + k).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = w.select("id", F.length("_t").alias("_chars"),
+                        F.explode(grams).alias("gram"))
+    counts = exploded.groupBy("id", "_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    win = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_gram_count"),
+            F.round(F.col("cnt") * F.length("gram") / F.col("_chars"), 6)
+            .alias("top_gram_char_frac"),
+        )
+    )

@@ -1282,3 +1282,60 @@ def test_draft7_formats_spark_path(spark):
     got = sorted((r["id"], r["path"])
                  for r in validate_rows(df, spec, keys=["id"]).collect())
     assert got == [(2, "/d"), (2, "/jp"), (2, "/u")]
+
+
+# ------------------- repetition metrics + decontamination (training pipeline)
+
+def test_repetition_metrics_values_and_no_shuffle(spark):
+    from jsonschema_spark.operators.text import repetition_metrics
+
+    rows = [(1, "a b\na b\nc d"),      # 3 lines, one dup pair
+            (2, "x y z"),              # no dup lines, no dup words
+            (3, "w w w w")]            # 1 line, all-dup words
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(df).collect()}
+    assert got[1]["n_lines"] == 3 and abs(got[1]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["dup_word_frac"] == 0.0
+    assert got[3]["n_words"] == 4 and got[3]["dup_word_frac"] == 0.75
+    # scan-side: one codegen projection, no Exchange
+    plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_top_ngram_fraction_value_and_tiebreak(spark):
+    from jsonschema_spark.operators.text import top_ngram_fraction
+
+    # "a b" occurs twice (chars 3*2=6 of 11); tie case: every 2-gram once ->
+    # lexicographically smallest wins
+    df = spark.createDataFrame([(1, "a b a b c"), (2, "z y x w")],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in top_ngram_fraction(df, n=2).collect()}
+    assert got[1]["top_gram"] == "a b" and got[1]["top_gram_count"] == 2
+    assert abs(got[1]["top_gram_char_frac"] - 6 / 9) < 1e-6
+    assert got[2]["top_gram"] == "w x" or got[2]["top_gram"] == "x w"
+    assert got[2]["top_gram"] == min(["z y", "y x", "x w"])
+
+
+def test_decontamination_flags_and_removes(spark):
+    from jsonschema_spark.operators.decontam import contamination_hits, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "something about the quick brown fox appearing here"),  # 2 shared 3-grams
+         (2, "completely unrelated words without any overlap at all"),
+         (3, "quick brown fox jumps straight through")],             # 2 shared
+        "doc_id int, text string")
+    hits = {r["doc_id"]: r["n_contaminated_grams"]
+            for r in contamination_hits(corpus, bench, n=3).collect()}
+    assert hits == {1: 2, 3: 2}
+    clean = sorted(r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect())
+    assert clean == [2]
+    # min_overlap raises the bar
+    none_ = contamination_hits(corpus, bench, n=3, min_overlap=3).collect()
+    assert none_ == []
+    # the benchmark side must broadcast (corpus shingles never shuffle to it)
+    plan = contamination_hits(corpus, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
