@@ -1671,6 +1671,59 @@ GROUP BY 1
 """
 
 
+def q_overlap_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch distinct-set overlap (id-level leakage triage): estimate
+    |A|, |B|, |A∩B|, |A∪B| and Jaccard/containment between two id sets from
+    ONE scan per side — no join of the data. Exact while each side's
+    cardinality is below the sketch's nominal capacity (lg_k=16 → ~65k; the
+    oracle regime), published ~0.4% relative error beyond."""
+    from jsonschema_spark.operators.overlap import set_overlap
+
+    docs = _t(spark, sf, "documents")
+    return set_overlap(docs.where(F.col("doc_id") % 2 == 0),
+                       docs.where(F.col("doc_id") % 3 == 0), "doc_id")
+
+
+SQL_OVERLAP_DOCUMENTS = """
+WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0),
+     b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 = 0),
+     c AS (SELECT
+        (SELECT count(*) FROM a) AS n_a,
+        (SELECT count(*) FROM b) AS n_b,
+        (SELECT count(*) FROM a JOIN b USING (doc_id)) AS n_intersection,
+        (SELECT count(*) FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b)) AS n_union)
+SELECT n_a, n_b, n_intersection, n_union,
+       n_a - n_intersection AS n_a_only,
+       n_b - n_intersection AS n_b_only,
+       ROUND(n_intersection * 1.0 / n_union, 6) AS jaccard,
+       ROUND(n_intersection * 1.0 / n_a, 6) AS containment_a_in_b
+FROM c
+"""
+
+
+def q_quantiles_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (the quantile analogue of the HLL
+    distinct sketches in the stats manifest): per-partition sketches of
+    n_chars merged table-wide — resumable p50/p90/p99 with no global sort
+    and no second fact scan. kll_k=8192 keeps every sketch and the merge in
+    the exact (pre-compaction) regime at oracle scale, where KLL's inclusive
+    rank equals DuckDB's quantile_disc."""
+    from jsonschema_spark.passes.stats import column_stats, merge_quantiles
+
+    docs = _t(spark, sf, "documents").withColumn("part_id", F.col("doc_id") % 4)
+    st = column_stats(docs, ["n_chars"], with_quantiles=True, kll_k=8192)
+    return merge_quantiles(st)
+
+
+SQL_QUANTILES_DOCUMENTS = """
+SELECT 'n_chars' AS column,
+       CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS q50,
+       CAST(quantile_disc(n_chars, 0.9) AS DOUBLE) AS q90,
+       CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) AS q99
+FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
 def q_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
     return T.fingerprints(_t(spark, sf, "documents"))
 
@@ -1784,6 +1837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "top2gram_documents": q_top2gram_documents,
         "decontam_documents": q_decontam_documents,
+        "overlap_documents": q_overlap_documents,
+        "quantiles_documents": q_quantiles_documents,
         "fingerprints_documents": q_fingerprints_documents,
         "images_full_suite": q_images_full_suite,
     }
@@ -1840,6 +1895,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": SQL_REPETITION_DOCUMENTS,
         "top2gram_documents": SQL_TOP2GRAM_DOCUMENTS,
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
+        "overlap_documents": SQL_OVERLAP_DOCUMENTS,
+        "quantiles_documents": SQL_QUANTILES_DOCUMENTS,
         "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
         # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
         # have no DuckDB twin → rows-only checks + pytest goldens. The

@@ -76,19 +76,39 @@ def violation_counts(violations: DataFrame) -> DataFrame:
 
 STAT_FIELDS = ["n_rows", "n_nulls", "min_val", "max_val", "n_distinct_approx", "hll_sketch"]
 
+_NUMERIC_TYPENAMES = (
+    "byte", "short", "integer", "long", "float", "double", "decimal",
+)
+
 
 def column_stats(
     df: DataFrame,
     columns: list[str],
     part_col: str = "part_id",
     with_sketches: bool = True,
+    with_quantiles: bool = False,
+    kll_k: int = 200,
 ) -> DataFrame:
     """Fused per-partition stats for all spec'd columns in ONE aggregation.
 
     Output (long format): part_id, column, n_rows, n_nulls, min_val:string,
-    max_val:string, n_distinct_approx, hll_sketch:binary.
+    max_val:string, n_distinct_approx, hll_sketch:binary[, kll_sketch:binary].
+
+    ``with_quantiles`` adds a mergeable KLL quantile sketch per NUMERIC
+    column (Apache DataSketches, same family as the HLL sketches): binary
+    state that round-trips through the stats manifest and rolls up
+    table-wide via ``kll_merge_agg_double`` across resume boundaries — the
+    quantile analogue of B15, giving resumable p50/p90/p99 without a global
+    sort or a second fact scan. KLL is exact while a sketch has seen ≤ k
+    values (no compaction yet) and carries the published ~1.65%/k=200 rank
+    error beyond; raise ``kll_k`` for tighter tails. Opt-in so existing
+    stats-sink schemas are unchanged.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    numeric = {
+        c for c in columns
+        if df.schema[c].dataType.typeName().startswith(_NUMERIC_TYPENAMES)
+    }
     for c in columns:
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
@@ -103,6 +123,10 @@ def column_stats(
             dt = df.schema[c].dataType.typeName()
             sk = col if dt in ("integer", "long", "string") else col.cast("string")
             aggs.append(F.hll_sketch_agg(sk).alias(f"{c}__hll"))
+        if with_quantiles and c in numeric:
+            aggs.append(
+                F.kll_sketch_agg_double(col.cast("double"), F.lit(kll_k))
+                .alias(f"{c}__kll"))
 
     wide = df.select(part_col, *columns).groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
 
@@ -115,15 +139,42 @@ def column_stats(
             F.col(f"{c}__max").alias("max_val"),
             F.col(f"{c}__dist").alias("n_distinct_approx"),
             (F.col(f"{c}__hll") if with_sketches else F.lit(None).cast("binary")).alias("hll_sketch"),
+            *([(F.col(f"{c}__kll") if c in numeric else F.lit(None).cast("binary")).alias("kll_sketch")]
+              if with_quantiles else []),
         )
         for c in columns
     ]
+    out_cols = [
+        "part_id", "s.column", "n_rows", "s.n_nulls", "s.min_val", "s.max_val",
+        "s.n_distinct_approx", "s.hll_sketch",
+    ] + (["s.kll_sketch"] if with_quantiles else [])
     return (
         wide.select("part_id", "n_rows", F.explode(F.array(*structs)).alias("s"))
-        .select(
-            "part_id", "s.column", "n_rows", "s.n_nulls", "s.min_val", "s.max_val",
-            "s.n_distinct_approx", "s.hll_sketch",
-        )
+        .select(*out_cols)
+    )
+
+
+def merge_quantiles(
+    stats: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Roll partition-level KLL sketches up table-wide (resume-safe merge —
+    the quantile analogue of ``merge_sketches``). Input must come from
+    ``column_stats(..., with_quantiles=True)``; non-numeric columns (null
+    sketches) are skipped. Output: column, q50, q90, q99, ... (quantile ×100,
+    dots becoming underscores: 0.5 → q50, 0.999 → q99_9)."""
+    merged = (
+        stats.where(F.col("kll_sketch").isNotNull())
+        .groupBy("column")
+        .agg(F.kll_merge_agg_double("kll_sketch").alias("_m"))
+    )
+
+    def _name(q: float) -> str:
+        return "q" + f"{q * 100:g}".replace(".", "_")
+
+    return merged.select(
+        "column",
+        *[F.kll_sketch_get_quantile_double("_m", F.lit(q)).alias(_name(q))
+          for q in quantiles],
     )
 
 

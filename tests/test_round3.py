@@ -1339,3 +1339,48 @@ def test_decontamination_flags_and_removes(spark):
     plan = contamination_hits(corpus, bench, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ----------------------- KLL quantile sketches + theta set overlap (sketches)
+
+def test_kll_quantiles_exact_and_merge_consistent(spark):
+    """KLL sketches are exact below k (no compaction) and merging the
+    per-partition sketches equals sketching the whole table — the
+    resume-rollup property the stats manifest relies on (quantile analogue
+    of the HLL rollup test)."""
+    import pyspark.sql.functions as F
+    from jsonschema_spark.passes.stats import column_stats, merge_quantiles
+
+    df = spark.range(1000).select(
+        (F.col("id") % 8).alias("part_id"), F.col("id").cast("long").alias("v"))
+    st = column_stats(df, ["v"], with_quantiles=True, kll_k=4096)
+    got = merge_quantiles(st).collect()[0]
+    # inclusive-rank quantiles over 0..999: q -> ceil(q*n)-th smallest (1-idx)
+    assert (got["q50"], got["q90"], got["q99"]) == (499.0, 899.0, 989.0)
+
+    # merge of 8 partition sketches == one global sketch
+    single = column_stats(df.withColumn("part_id", F.lit(0)), ["v"],
+                          with_quantiles=True, kll_k=4096)
+    assert merge_quantiles(single).collect()[0] == got
+
+    # non-numeric columns carry a null sketch and are skipped by the merge
+    df2 = df.withColumn("s", F.col("v").cast("string"))
+    st2 = column_stats(df2, ["v", "s"], with_quantiles=True, kll_k=4096)
+    assert [r["column"] for r in merge_quantiles(st2).collect()] == ["v"]
+
+
+def test_theta_set_overlap_exact_and_algebra(spark):
+    import pyspark.sql.functions as F
+    from jsonschema_spark.operators.overlap import set_overlap
+
+    a = spark.range(0, 600).select(F.col("id").alias("k"))
+    b = spark.range(300, 900).select(F.col("id").alias("k"))
+    r = set_overlap(a, b, "k").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_intersection"], r["n_union"]) == (600, 600, 300, 900)
+    assert (r["n_a_only"], r["n_b_only"]) == (300, 300)
+    assert abs(r["jaccard"] - 300 / 900) < 1e-6
+    assert abs(r["containment_a_in_b"] - 0.5) < 1e-6
+    # duplicates in the input must not inflate the DISTINCT estimates
+    a_dup = a.union(a)
+    r2 = set_overlap(a_dup, b, "k").collect()[0]
+    assert r2["n_a"] == 600 and r2["n_intersection"] == 300
