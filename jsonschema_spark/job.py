@@ -134,6 +134,16 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
                     help="materialize the fused scan as a parquet scratch table "
                          "at this path instead of the SQL columnar cache "
                          "(shared storage on a cluster, tmpfs locally)")
+    ap.add_argument("--quantile-sketches", action="store_true",
+                    help="fuse a mergeable KLL quantile sketch per numeric "
+                         "spec'd column into the stats pass; the summary "
+                         "gains global_quantiles (p50/p90/p99 merged over "
+                         "ALL partitions — resume-safe like global_distinct)."
+                         " Keep the flag consistent across resumes of one "
+                         "sink (it changes the stats schema)")
+    ap.add_argument("--kll-k", type=int, default=200,
+                    help="KLL sketch size parameter (exact below k per "
+                         "sketch; ~1.65%% rank error at the default 200)")
     args = ap.parse_args(argv)
 
     own_session = spark is None
@@ -206,6 +216,8 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         uniqueness_scope=fact_full,
         fidelity_fn=fidelity_fn,
         fuse_scratch=args.scratch,
+        with_quantiles=args.quantile_sketches,
+        kll_k=args.kll_k,
     )
     # Sinks partitioned by (pass_id, part_id). Overwrite semantics:
     # - resume: DYNAMIC partition overwrite rewrites exactly the cells this
@@ -257,6 +269,18 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         global_distinct = {
             r.column: int(r.n_distinct_merged)
             for r in merge_sketches(spark.read.parquet(args.out + "/stats")).collect()
+        }
+
+    global_quantiles = {}
+    if res.stats is not None and args.quantile_sketches:
+        # B42: same resume-safe rollup for the KLL quantile sketches — the
+        # sink holds every partition's sketch, so table-wide p50/p90/p99
+        # cover completed-before-a-kill partitions too.
+        from .passes.stats import merge_quantiles
+
+        global_quantiles = {
+            r.column: {"q50": r.q50, "q90": r.q90, "q99": r.q99}
+            for r in merge_quantiles(spark.read.parquet(args.out + "/stats")).collect()
         }
 
     # lineage rows: per-partition row + violation counts from the written
@@ -315,6 +339,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         "wall_sec": round(elapsed, 3),
         "images_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else 0.0,
         "global_distinct": global_distinct,
+        **({"global_quantiles": global_quantiles} if args.quantile_sketches else {}),
     }
     man.write_summary(summary)
     print(json.dumps(summary))

@@ -1384,3 +1384,33 @@ def test_theta_set_overlap_exact_and_algebra(spark):
     a_dup = a.union(a)
     r2 = set_overlap(a_dup, b, "k").collect()[0]
     assert r2["n_a"] == 600 and r2["n_intersection"] == 300
+
+
+def test_cli_quantile_sketches_summary_and_resume_rollup(spark, tmp_path):
+    """--quantile-sketches: the stats sink carries per-partition KLL state
+    and the summary's global_quantiles are the table-wide merge — with
+    kll_k above the row count the values are exact inclusive-rank
+    quantiles."""
+    import json as _json
+    from jsonschema_spark.job import run
+
+    df = spark.range(400).select(
+        (F.concat(F.lit("img-"), F.col("id"))).alias("image_id"),
+        (F.col("id") % 4).alias("part_id"),
+        F.col("id").cast("long").alias("w"),
+    )
+    df.write.parquet(str(tmp_path / "t"))
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        _json.dump({"properties": {"w": {"minimum": 0}}}, f)
+    s = run(["--table", str(tmp_path / "t"), "--spec", spec_path,
+             "--manifest", str(tmp_path / "man"), "--out", str(tmp_path / "out"),
+             "--quantile-sketches", "--kll-k", "2048"], spark=spark)
+    assert s["status"] == "ok"
+    q = s["global_quantiles"]["w"]
+    # inclusive rank over 0..399: ceil(q*400)-th smallest, 1-indexed
+    assert (q["q50"], q["q90"], q["q99"]) == (199.0, 359.0, 395.0)
+    # the sink itself carries the mergeable binary state per partition
+    st = spark.read.parquet(str(tmp_path / "out/stats"))
+    assert "kll_sketch" in st.columns
+    assert st.where(F.col("kll_sketch").isNotNull()).count() == 4
