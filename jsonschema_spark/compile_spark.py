@@ -18,6 +18,7 @@ predicate is null-forgiving via ``coalesce(pred, true)``.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from functools import reduce
 from typing import Any
@@ -139,6 +140,113 @@ def node_valid(node: SpecNode, col: Column, dt: T.DataType | None) -> Column:
     if not checks:
         return F.lit(True)
     return reduce(lambda a, b: a & b, (c.ok for c in checks))
+
+
+# --- draft-2019 unevaluated* support (annotation-flow compilation) ---------
+# The draft's rule: a property/item is "evaluated" if this schema or an
+# in-place applicator branch that APPLIED AND VALIDATED names it. Coverage
+# therefore mixes compile-time facts (static property names / regexes) with
+# runtime branch validity — compiled here as boolean guard Columns.
+
+_ALL_ITEMS = object()  # sentinel: every item is evaluated
+
+
+def _applicator_guards(
+    node: SpecNode, col: Column, dt: T.DataType | None
+) -> list[tuple[SpecNode, Column]]:
+    """(branch, guard) pairs where guard is true iff the branch's
+    annotations apply to this value under draft-2019 semantics."""
+    out: list[tuple[SpecNode, Column]] = []
+
+    def valid(sub: SpecNode) -> Column:
+        return F.coalesce(node_valid(sub, col, dt), F.lit(False))
+
+    for br in (node.all_of or ()) + (node.any_of or ()) + (node.one_of or ()):
+        out.append((br, valid(br)))
+    if node.if_ is not None:
+        g = valid(node.if_)
+        out.append((node.if_, g))
+        if node.then_ is not None:
+            out.append((node.then_, g & valid(node.then_)))
+        if node.else_ is not None:
+            out.append((node.else_, ~g & valid(node.else_)))
+    for name, dep in node.dependencies.items():
+        if not isinstance(dep, SpecNode):
+            continue
+        if isinstance(dt, T.StructType):
+            present = (col.getField(name).isNotNull()
+                       if name in {f.name for f in dt.fields} else F.lit(False))
+        elif isinstance(dt, T.MapType):
+            present = F.map_contains_key(col, F.lit(name))
+        else:
+            continue
+        out.append((dep, present & valid(dep)))
+    return out
+
+
+def _covers_field(
+    node: SpecNode, fname: str, col: Column, dt: T.DataType | None
+) -> Column | bool:
+    """Is struct field ``fname`` evaluated? True/False when decidable at
+    compile time (names are static), a guard Column otherwise."""
+    if (node.additional_properties is not None or fname in node.properties
+            or any(re.search(rx, fname) for rx in node.pattern_properties)):
+        return True
+    terms: list[Column] = []
+    for sub, guard in _applicator_guards(node, col, dt):
+        c = _covers_field(sub, fname, col, dt)
+        if c is False:
+            continue
+        terms.append(guard if c is True else guard & c)
+    if not terms:
+        return False
+    return reduce(lambda a, b: a | b, terms)
+
+
+def _covers_key(
+    node: SpecNode, kcol: Column, col: Column, dt: T.DataType | None
+) -> Column | bool:
+    """Map form of ``_covers_field``: keys are runtime values, so static
+    names become ``isin`` and patternProperties become ``rlike``."""
+    if node.additional_properties is not None:
+        return True
+    terms: list[Column] = []
+    if node.properties:
+        terms.append(kcol.isin(*node.properties.keys()))
+    for rx in node.pattern_properties:
+        terms.append(kcol.rlike(sqlglue.to_java_regex(rx)))
+    for sub, guard in _applicator_guards(node, col, dt):
+        c = _covers_key(sub, kcol, col, dt)
+        if c is False:
+            continue
+        terms.append(guard if c is True else guard & c)
+    if not terms:
+        return False
+    return reduce(lambda a, b: a | b, terms)
+
+
+def _items_covered(node: SpecNode, col: Column, dt: T.DataType | None):
+    """Evaluated-prefix length for an array column: _ALL_ITEMS, an int, or
+    an int Column when branch guards make it runtime-dependent. Divergence
+    (documented, mirrors local.py): contains-matched items are not tracked."""
+    if node.items is not None:
+        return _ALL_ITEMS
+    base = 0
+    if node.tuple_items is not None:
+        if node.additional_items is not None:
+            return _ALL_ITEMS
+        base = len(node.tuple_items)
+    parts: list[Column] = []
+    for sub, guard in _applicator_guards(node, col, dt):
+        c = _items_covered(sub, col, dt)
+        if c is _ALL_ITEMS:
+            parts.append(F.when(guard, F.size(col)).otherwise(F.lit(0)))
+        else:
+            cc = F.lit(c) if isinstance(c, int) else c
+            parts.append(F.when(guard, cc).otherwise(F.lit(0)))
+    if not parts:
+        return base
+    return F.greatest(F.lit(base), *parts)
 
 
 def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
@@ -313,6 +421,19 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
                     _forgive_null(col, cnt >= minc))
                 if node.max_contains is not None:
                     add("maxContains", _forgive_null(col, cnt <= node.max_contains))
+        if node.unevaluated_items is not None and node.unevaluated_items is not True:
+            cov = _items_covered(node, col, dt)
+            if cov is not _ALL_ITEMS:
+                covc = F.lit(cov) if isinstance(cov, int) else cov
+                if node.unevaluated_items is False:
+                    add("unevaluatedItems", _forgive_null(col, F.size(col) <= covc))
+                else:
+                    ui = node.unevaluated_items
+                    tail = F.slice(col, covc + F.lit(1),
+                                   F.greatest(F.size(col) - covc, F.lit(0)))
+                    ok = F.forall(tail, lambda x: F.coalesce(
+                        node_valid(ui, x, elem_dt), F.lit(True)))
+                    add("unevaluatedItems", _forgive_null(col, ok))
 
     # --- A15–A17 objects -----------------------------------------------------
     if isinstance(dt, T.StructType):
@@ -371,6 +492,25 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
             else:
                 add("dependencies",
                     _forgive_null(col, F.when(present, node_valid(dep, col, dt)).otherwise(F.lit(True))))
+        if node.unevaluated_properties is not None and node.unevaluated_properties is not True:
+            # struct fields are static names — coverage folds to compile-time
+            # True/False plus runtime branch-validity guards; a field is a
+            # violation iff present AND unevaluated (AND, in the schema form,
+            # failing the unevaluatedProperties subschema)
+            up = node.unevaluated_properties
+            for f in fields:
+                covf = _covers_field(node, f, col, dt)
+                if covf is True:
+                    continue
+                fcol = col.getField(f)
+                ok = fcol.isNull()
+                if covf is not False:
+                    ok = ok | covf
+                if isinstance(up, SpecNode):
+                    fdt = dt[f].dataType
+                    ok = ok | F.coalesce(node_valid(up, fcol, fdt), F.lit(True))
+                add("unevaluatedProperties", _forgive_null(col, ok),
+                    p=f"{path}/{f}", value=fcol.cast("string"))
     elif isinstance(dt, T.MapType):
         if node.required is not None:
             for name in node.required:
@@ -413,6 +553,20 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
                     add("dependencies",
                         _forgive_null(col, F.when(present, F.map_contains_key(col, F.lit(d))).otherwise(F.lit(True))),
                         p=f"{path}/{d}")
+        if node.unevaluated_properties is not None and node.unevaluated_properties is not True:
+            up = node.unevaluated_properties
+            val_dt = dt.valueType
+
+            def _key_ok(k: Column) -> Column:
+                c = _covers_key(node, k, col, dt)
+                t = F.lit(False) if c is False else (F.lit(True) if c is True else c)
+                if isinstance(up, SpecNode):
+                    t = t | F.coalesce(
+                        node_valid(up, F.element_at(col, k), val_dt), F.lit(True))
+                return t
+
+            add("unevaluatedProperties",
+                _forgive_null(col, F.forall(F.map_keys(col), _key_ok)))
 
     # --- A18–A21 combinators ---------------------------------------------------
     if node.all_of is not None:
@@ -577,6 +731,26 @@ def compile_table(spec: Spec, schema: T.StructType) -> CompiledTableSpec:
                 raise CompileError(f"required column absent: {name}")
             continue
         used.add(name)
+        if sub.meta.get("x-json"):
+            # engine extension: the column is a JSON-STRING payload — parse
+            # once with from_json into the subschema-derived struct/map and
+            # run every keyword on the parsed value (same machinery as
+            # compile_json_column, scoped to one column of a wider table).
+            # Unparseable payloads surface as a root 'type' violation.
+            if not isinstance(fields[name], T.StringType):
+                raise CompileError(f"x-json column {name!r} must be a string column")
+            jdt = spec_struct_type(sub)
+            doc = F.from_json(F.col(name), jdt)
+            ok = F.try_parse_json(F.col(name)).isNotNull()
+            if sub.type is not None and "object" in sub.type:
+                # mirror validate_json_rows: a parseable non-object payload
+                # (scalar/array JSON) violates type:object rather than
+                # silently passing as an all-null struct
+                ok = ok & F.col(name).rlike(r"^[ \t\r\n]*\{")
+            checks.append(CheckExpr("type", f"/{name}", name,
+                                    F.col(name).isNull() | ok, F.col(name)))
+            checks.extend(compile_node(sub, doc, f"/{name}", name, jdt))
+            continue
         checks.extend(compile_node(sub, F.col(name), f"/{name}", name, fields[name]))
         if sub.d3_required:
             checks.append(CheckExpr("required", f"/{name}", name,
@@ -592,6 +766,32 @@ def compile_table(spec: Spec, schema: T.StructType) -> CompiledTableSpec:
         ]
         if extras:
             raise CompileError(f"additionalProperties:false but table has extra columns: {extras}")
+
+    if root.unevaluated_properties is False:
+        # table columns are static, so root-level unevaluatedProperties:false
+        # folds to a compile-time column-set check like additionalProperties —
+        # with the draft-2019 twist that names evaluated by ANY applicator
+        # branch count (static over-approximation of branch validity: a
+        # column the spec names somewhere is considered evaluated)
+        def _static_names(nd: SpecNode, acc_names: set, acc_pats: set) -> None:
+            acc_names.update(nd.properties)
+            acc_pats.update(nd.pattern_properties)
+            for sub in ((nd.all_of or ()) + (nd.any_of or ()) + (nd.one_of or ())
+                        + tuple(x for x in (nd.if_, nd.then_, nd.else_) if x is not None)
+                        + tuple(d for d in nd.dependencies.values()
+                                if isinstance(d, SpecNode))):
+                _static_names(sub, acc_names, acc_pats)
+
+        names: set = set()
+        pats: set = set()
+        _static_names(root, names, pats)
+        extras = [n for n in fields
+                  if n not in names and not any(re.search(p, n) for p in pats)
+                  and n != "part_id"]
+        if extras:
+            raise CompileError(
+                "unevaluatedProperties:false but table has columns no schema "
+                f"branch evaluates: {extras}")
 
     for pat, sub in root.pattern_properties.items():
         import re as _re

@@ -224,6 +224,25 @@ def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa
                 else:
                     if not _eval_quiet(v, dep):
                         out.append(Violation("dependencies", path, v))
+        if n.unevaluated_properties is not None and n.unevaluated_properties is not True:
+            acc: set = set()
+            if not _names_cover(v, n, acc):
+                for k in v:
+                    if k in acc:
+                        continue
+                    if n.unevaluated_properties is False:
+                        out.append(Violation("unevaluatedProperties", f"{path}/{k}", v[k]))
+                    else:
+                        _eval(v[k], n.unevaluated_properties, f"{path}/{k}", out)
+
+    if isinstance(v, list) and n.unevaluated_items is not None \
+            and n.unevaluated_items is not True:
+        cov = _items_cover(v, n)
+        for i in range(min(cov, len(v)), len(v)):
+            if n.unevaluated_items is False:
+                out.append(Violation("unevaluatedItems", f"{path}/{i}", v[i]))
+            else:
+                _eval(v[i], n.unevaluated_items, f"{path}/{i}", out)
 
     if n.all_of is not None:
         for sub in n.all_of:
@@ -246,3 +265,62 @@ def _eval_quiet(v: Any, n: SpecNode) -> bool:
     tmp: list[Violation] = []
     _eval(v, n, "", tmp)
     return not tmp
+
+
+def _applied_subschemas(v: Any, n: SpecNode) -> list[SpecNode]:
+    """In-place applicator branches whose annotations apply to ``v`` under
+    draft-2019 semantics: only branches that VALIDATE contribute (a failing
+    allOf/anyOf branch's annotations are dropped); if/then/else contribute
+    per the if outcome; schema-form dependencies when triggered + valid."""
+    subs: list[SpecNode] = []
+    for br in (n.all_of or ()) + (n.any_of or ()) + (n.one_of or ()):
+        if _eval_quiet(v, br):
+            subs.append(br)
+    if n.if_ is not None:
+        if _eval_quiet(v, n.if_):
+            subs.append(n.if_)
+            if n.then_ is not None and _eval_quiet(v, n.then_):
+                subs.append(n.then_)
+        elif n.else_ is not None and _eval_quiet(v, n.else_):
+            subs.append(n.else_)
+    if isinstance(v, dict):
+        for name, dep in n.dependencies.items():
+            if name in v and isinstance(dep, SpecNode) and _eval_quiet(v, dep):
+                subs.append(dep)
+    return subs
+
+
+def _names_cover(v: dict, n: SpecNode, acc: set) -> bool:
+    """Collect into ``acc`` the property names of ``v`` evaluated by ``n``
+    and its applied applicator branches (recursively). Returns True when
+    ALL names are evaluated (additionalProperties present at some applied
+    level)."""
+    if n.additional_properties is not None:
+        return True
+    acc.update(k for k in v if k in n.properties)
+    for rx in n.pattern_properties:
+        acc.update(k for k in v if re.search(rx, k))
+    for sub in _applied_subschemas(v, n):
+        if _names_cover(v, sub, acc):
+            return True
+    return False
+
+
+def _items_cover(v: list, n: SpecNode) -> int:
+    """Number of leading items of ``v`` evaluated by ``n`` and its applied
+    branches. Single-schema ``items`` (or any ``additionalItems``) evaluates
+    everything; tuple form evaluates its prefix. Divergence (documented):
+    draft-2019 also marks ``contains``-matched items evaluated — this engine
+    does not track per-item contains annotations."""
+    if n.items is not None:
+        return len(v)
+    cov = 0
+    if n.tuple_items is not None:
+        if n.additional_items is not None:
+            return len(v)
+        cov = min(len(n.tuple_items), len(v))
+    for sub in _applied_subschemas(v, n):
+        cov = max(cov, _items_cover(v, sub))
+        if cov >= len(v):
+            return len(v)
+    return cov

@@ -21,7 +21,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 # Keywords that are pure metadata (SURVEY.md A31) — retained, never validated.
-METADATA_KEYWORDS = {"title", "description", "default", "id", "$schema", "x-table-checks"}
+METADATA_KEYWORDS = {"title", "description", "default", "id", "$schema", "x-table-checks",
+                     "x-json"}
 
 # JSON type names (draft-04 §3.5; draft-03 §5.1 adds "any").
 JSON_TYPES = {"object", "array", "string", "number", "integer", "boolean", "null", "any"}
@@ -87,6 +88,10 @@ class SpecNode:
     property_names: "SpecNode | None" = None     # draft-6
     content_encoding: str | None = None          # draft-7 §8 (asserting mode)
     content_media_type: str | None = None
+    # draft-2019 §9.3.2.4/§9.3.1.3 — apply to properties/items not evaluated
+    # by this schema or a SUCCESSFULLY-validating in-place applicator branch
+    unevaluated_properties: "SpecNode | bool | None" = None
+    unevaluated_items: "SpecNode | bool | None" = None
     disallow: tuple[Any, ...] | None = None      # d3 §5.25: type names or schemas
     format: str | None = None
     # metadata passthrough for reporting
@@ -353,6 +358,12 @@ def _parse_node(
             kw["else_"] = _sub(s["else"], root, depth + 1, ref_stack)
     if "propertyNames" in s:
         kw["property_names"] = _sub(s["propertyNames"], root, depth + 1, ref_stack)
+    if "unevaluatedProperties" in s:
+        up = s["unevaluatedProperties"]
+        kw["unevaluated_properties"] = up if isinstance(up, bool) else _sub(up, root, depth + 1, ref_stack)
+    if "unevaluatedItems" in s:
+        ui = s["unevaluatedItems"]
+        kw["unevaluated_items"] = ui if isinstance(ui, bool) else _sub(ui, root, depth + 1, ref_stack)
     if "contentEncoding" in s:
         kw["content_encoding"] = s["contentEncoding"]
     if "contentMediaType" in s:

@@ -1414,3 +1414,115 @@ def test_cli_quantile_sketches_summary_and_resume_rollup(spark, tmp_path):
     st = spark.read.parquet(str(tmp_path / "out/stats"))
     assert "kll_sketch" in st.columns
     assert st.where(F.col("kll_sketch").isNotNull()).count() == 4
+
+
+# ------------------------- draft-2019 unevaluatedProperties/unevaluatedItems
+
+def test_unevaluated_properties_struct_branch_annotations(spark):
+    """A struct field is evaluated iff a SUCCESSFULLY-validating applicator
+    branch names it (draft-2019 annotation rule); null fields are absent."""
+    from jsonschema_spark.engine import validate_rows
+
+    df = spark.createDataFrame(
+        [(1, (1, 2, 9)), (2, (1, None, 5)), (3, (None, 2, None))],
+        "id int, obj struct<a:int, b:int, d:int>")
+    spec = {"properties": {"obj": {
+        "properties": {"a": {}},
+        "anyOf": [{"required": ["b"], "properties": {"b": {}}},
+                  {"required": ["c"], "properties": {"c": {}}}],
+        "unevaluatedProperties": False}}}
+    got = sorted((r["id"], r["keyword"], r["path"])
+                 for r in validate_rows(df, spec, keys=["id"]).collect())
+    assert (1, "unevaluatedProperties", "/obj/d") in got
+    assert (2, "anyOf", "/obj") in got
+    assert (2, "unevaluatedProperties", "/obj/d") in got
+    assert not any(i == 3 and k == "unevaluatedProperties" for i, k, _ in got)
+
+
+def test_unevaluated_properties_map_payload(spark):
+    """Map-typed JSON payloads check coverage per dynamic key; the schema
+    form validates uncovered values. (Struct-typed payloads are closed-world
+    — from_json drops undeclared keys — same caveat as additionalProperties;
+    pattern-only schemas parse as maps and see every key.)"""
+    from jsonschema_spark.engine import validate_json_rows
+
+    spec = {"type": "object", "patternProperties": {"^x_": {}},
+            "unevaluatedProperties": False}
+    df = spark.createDataFrame([(1, '{"x_a": 1, "x_b": 2}'), (2, '{"x_a": 1, "rogue": 2}')],
+                               "id int, payload string")
+    got = sorted((r["id"], r["keyword"])
+                 for r in validate_json_rows(df, "payload", spec, keys=["id"]).collect())
+    assert got == [(2, "unevaluatedProperties")]
+
+    spec2 = {"type": "object", "patternProperties": {"^a": {}},
+             "unevaluatedProperties": {"pattern": "^[0-9]+$"}}
+    df2 = spark.createDataFrame([(1, '{"ab": "x", "z": "123"}'),
+                                 (2, '{"ab": "x", "z": "nope"}')],
+                                "id int, payload string")
+    got2 = sorted((r["id"], r["keyword"])
+                  for r in validate_json_rows(df2, "payload", spec2, keys=["id"]).collect())
+    assert got2 == [(2, "unevaluatedProperties")]
+
+
+def test_unevaluated_items_array_column(spark):
+    from jsonschema_spark.engine import validate_rows
+
+    df = spark.createDataFrame([(1, [10, 20]), (2, [10, 20, 30])], "id int, xs array<int>")
+    spec = {"properties": {"xs": {"items": [{}, {}], "unevaluatedItems": False}}}
+    got = sorted((r["id"], r["keyword"]) for r in validate_rows(df, spec, keys=["id"]).collect())
+    assert got == [(2, "unevaluatedItems")]
+
+    # schema form applies to the suffix only
+    spec2 = {"properties": {"xs": {"items": [{}], "unevaluatedItems": {"maximum": 25}}}}
+    got2 = sorted((r["id"], r["keyword"]) for r in validate_rows(df, spec2, keys=["id"]).collect())
+    assert got2 == [(2, "unevaluatedItems")]
+
+    # a validating allOf branch extends the evaluated prefix at runtime
+    spec3 = {"properties": {"xs": {"items": [{}],
+             "allOf": [{"items": [{}, {}, {}]}], "unevaluatedItems": False}}}
+    got3 = sorted((r["id"], r["keyword"]) for r in validate_rows(df, spec3, keys=["id"]).collect())
+    assert got3 == []
+
+
+def test_unevaluated_properties_root_static_check(spark):
+    """Root-level unevaluatedProperties:false folds to a compile-time
+    column-set check (names evaluated by ANY branch count)."""
+    from jsonschema_spark.compile_spark import compile_table, CompileError
+    from jsonschema_spark import spec as specmod
+
+    schema = spark.createDataFrame([(1, "x", 2)], "a int, b string, c int").schema
+    ok_spec = {"properties": {"a": {}},
+               "anyOf": [{"properties": {"b": {}}}, {"properties": {"c": {}}}],
+               "unevaluatedProperties": False}
+    compile_table(specmod.parse(ok_spec), schema)  # no branch misses a column
+
+    bad = {"properties": {"a": {}}, "unevaluatedProperties": False}
+    with pytest.raises(CompileError, match="unevaluatedProperties"):
+        compile_table(specmod.parse(bad), schema)
+
+
+def test_x_json_payload_column_in_table_spec(spark):
+    """Engine extension x-json: a table-spec property marked x-json is a
+    JSON-STRING column — parsed once with from_json, every keyword runs on
+    the parsed value (one codegen projection, same as validate_json_rows but
+    scoped to one column of a wider table)."""
+    from jsonschema_spark.engine import validate_rows
+    from jsonschema_spark.compile_spark import compile_table, CompileError
+    from jsonschema_spark import spec as specmod
+
+    rows = [(1, 5, '{"x_a": 1}'), (2, 5, '{"x_a": 1, "rogue": 2}'),
+            (3, 5, "not json"), (4, 5, "[1, 2]"), (5, 5, None)]
+    df = spark.createDataFrame(rows, "id int, w int, props string")
+    spec = {"properties": {
+        "w": {"minimum": 0},
+        "props": {"x-json": True, "type": "object",
+                  "patternProperties": {"^x_": {}},
+                  "unevaluatedProperties": False}}}
+    got = sorted((r["id"], r["keyword"])
+                 for r in validate_rows(df, spec, keys=["id"]).collect())
+    assert got == [(2, "unevaluatedProperties"), (3, "type"), (4, "type")]
+
+    # x-json on a non-string column fails fast at compile time
+    with pytest.raises(CompileError, match="x-json"):
+        compile_table(specmod.parse(
+            {"properties": {"w": {"x-json": True, "type": "object"}}}), df.schema)

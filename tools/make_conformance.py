@@ -885,6 +885,75 @@ D7 = {
             ],
         },
     ],
+    "unevaluated.json": [
+        {
+            "description": "unevaluatedProperties false, properties only",
+            "schema": {"properties": {"a": {}}, "unevaluatedProperties": False},
+            "tests": [
+                {"description": "only declared property", "data": {"a": 1}, "valid": True},
+                {"description": "extra property fails", "data": {"a": 1, "b": 2}, "valid": False},
+                {"description": "empty object", "data": {}, "valid": True},
+                {"description": "non-object ignores keyword", "data": 7, "valid": True},
+            ],
+        },
+        {
+            "description": "unevaluatedProperties sees validating anyOf branch annotations",
+            "schema": {"properties": {"a": {}},
+                       "anyOf": [{"required": ["b"], "properties": {"b": {"type": "integer"}}},
+                                 {"required": ["c"], "properties": {"c": {}}}],
+                       "unevaluatedProperties": False},
+            "tests": [
+                {"description": "b evaluated by valid branch", "data": {"a": 1, "b": 2}, "valid": True},
+                {"description": "b unevaluated when its branch fails",
+                 "data": {"a": 1, "b": "str", "c": 3}, "valid": False},
+                {"description": "d evaluated by nothing", "data": {"a": 1, "b": 2, "d": 4}, "valid": False},
+            ],
+        },
+        {
+            "description": "unevaluatedProperties schema form",
+            "schema": {"properties": {"a": {}}, "unevaluatedProperties": {"type": "integer"}},
+            "tests": [
+                {"description": "extra validates", "data": {"a": "s", "z": 3}, "valid": True},
+                {"description": "extra fails subschema", "data": {"a": "s", "z": "no"}, "valid": False},
+            ],
+        },
+        {
+            "description": "if/then annotations flow into unevaluatedProperties",
+            "schema": {"if": {"required": ["k"], "properties": {"k": {"const": 1}}},
+                       "then": {"properties": {"t": {}}},
+                       "unevaluatedProperties": False},
+            "tests": [
+                {"description": "then evaluated t when if matched", "data": {"k": 1, "t": 5}, "valid": True},
+                {"description": "if failed: k and t unevaluated", "data": {"k": 2, "t": 5}, "valid": False},
+            ],
+        },
+        {
+            "description": "unevaluatedItems over tuple prefix",
+            "schema": {"items": [{"type": "integer"}], "unevaluatedItems": False},
+            "tests": [
+                {"description": "prefix only", "data": [1], "valid": True},
+                {"description": "extra item fails", "data": [1, 2], "valid": False},
+                {"description": "empty array", "data": [], "valid": True},
+            ],
+        },
+        {
+            "description": "unevaluatedItems schema form + allOf prefix extension",
+            "schema": {"items": [{}], "allOf": [{"items": [{}, {}]}],
+                       "unevaluatedItems": {"type": "integer"}},
+            "tests": [
+                {"description": "allOf extends evaluated prefix to 2", "data": ["a", "b"], "valid": True},
+                {"description": "third item must be integer", "data": ["a", "b", 3], "valid": True},
+                {"description": "third item wrong type", "data": ["a", "b", "c"], "valid": False},
+            ],
+        },
+        {
+            "description": "single-schema items evaluates everything",
+            "schema": {"items": {"type": "integer"}, "unevaluatedItems": False},
+            "tests": [
+                {"description": "all items evaluated", "data": [1, 2, 3], "valid": True},
+            ],
+        },
+    ],
     "exclusive-numeric.json": [
         {
             "description": "draft-6 numeric exclusiveMinimum/exclusiveMaximum",
