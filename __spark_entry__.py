@@ -127,6 +127,37 @@ FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 0 AND doc_id % 3 <> 0
 """
 
 
+def q_unevaluated_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Draft-2019 unevaluatedProperties over an x-json payload column:
+    events.props is rewritten deterministically — event_id%5==0 rows gain a
+    rogue key, %7 (non-%5) rows become non-JSON — then the table spec marks
+    the column x-json with patternProperties ^k$ + unevaluatedProperties:
+    false. Map-typed parse sees every dynamic key; expected set is pure
+    event_id arithmetic."""
+    ev = _t(spark, sf, "events").withColumn(
+        "payload",
+        F.when(F.col("event_id") % 5 == 0,
+               F.concat(F.expr("substring(props, 1, length(props)-1)"),
+                        F.lit(',"rogue":1}')))
+         .when(F.col("event_id") % 7 == 0, F.lit("oops"))
+         .otherwise(F.col("props")))
+    spec = {"properties": {"payload": {
+        "x-json": True, "type": "object",
+        "patternProperties": {"^k$": {}},
+        "unevaluatedProperties": False}}}
+    return validate_rows(ev, spec, keys=["event_id"]).select(
+        "event_id", "keyword", "path")
+
+
+SQL_UNEVALUATED_EVENTS = """
+SELECT event_id, 'unevaluatedProperties' AS keyword, '/payload' AS path
+FROM events WHERE props IS NOT NULL AND event_id % 5 = 0
+UNION ALL
+SELECT event_id, 'type', '/payload'
+FROM events WHERE props IS NOT NULL AND event_id % 5 <> 0 AND event_id % 7 = 0
+"""
+
+
 def q_predicates_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-field row predicates (x-table-checks/row-predicates) — SQL
     invariants JSON Schema cannot express, compiled into the same fused P1
@@ -1797,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicates_lineitem": q_predicates_lineitem,
         "conditional_orders": q_conditional_orders,
         "content_documents": q_content_documents,
+        "unevaluated_events": q_unevaluated_events,
         "anomaly_documents": q_anomaly_documents,
         "embedding_drift_labels": q_embedding_drift,
         "ks_documents": q_ks_documents,
@@ -1861,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         "predicates_lineitem": SQL_PREDICATES_LINEITEM,
         "conditional_orders": SQL_CONDITIONAL_ORDERS,
         "content_documents": SQL_CONTENT_DOCUMENTS,
+        "unevaluated_events": SQL_UNEVALUATED_EVENTS,
         "anomaly_documents": SQL_ANOMALY_DOCUMENTS,
         "embedding_drift_labels": SQL_EMBEDDING_DRIFT,
         "ks_documents": SQL_KS_DOCUMENTS,
