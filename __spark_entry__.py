@@ -1755,6 +1755,66 @@ FROM documents WHERE n_chars IS NOT NULL
 """
 
 
+def q_suggest_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Spec suggestion profile (suggest.py): the deterministic per-column
+    aggregate table a draft constraint spec is assembled from — types,
+    null-rate/required, numeric+length ranges, exact distinct counts, and
+    sorted enum candidates for low-cardinality columns. One fused hash
+    aggregation; enum sets collected only under an approx-distinct guard."""
+    from jsonschema_spark.suggest import profile_columns
+
+    return profile_columns(
+        _t(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"])
+
+
+SQL_SUGGEST_DOCUMENTS = """
+WITH n AS (SELECT count(*) AS n_rows FROM documents)
+SELECT 'doc_id' AS column, 'integer' AS json_type, n.n_rows,
+       (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS n_nulls,
+       (SELECT count(*) FROM documents WHERE doc_id IS NULL) = 0 AS required,
+       (SELECT CAST(min(doc_id) AS DOUBLE) FROM documents) AS min_num,
+       (SELECT CAST(max(doc_id) AS DOUBLE) FROM documents) AS max_num,
+       CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len,
+       (SELECT count(DISTINCT doc_id) FROM documents) AS n_distinct,
+       CAST(NULL AS VARCHAR[]) AS enum_vals
+FROM n
+UNION ALL
+SELECT 'lang', 'string', n.n_rows,
+       (SELECT count(*) FROM documents WHERE lang IS NULL),
+       (SELECT count(*) FROM documents WHERE lang IS NULL) = 0,
+       NULL, NULL,
+       (SELECT min(length(lang)) FROM documents),
+       (SELECT max(length(lang)) FROM documents),
+       (SELECT count(DISTINCT lang) FROM documents),
+       CASE WHEN (SELECT count(DISTINCT lang) FROM documents) <= 16
+            THEN (SELECT list_sort(list(DISTINCT lang)) FROM documents WHERE lang IS NOT NULL)
+            END
+FROM n
+UNION ALL
+SELECT 'source', 'string', n.n_rows,
+       (SELECT count(*) FROM documents WHERE source IS NULL),
+       (SELECT count(*) FROM documents WHERE source IS NULL) = 0,
+       NULL, NULL,
+       (SELECT min(length(source)) FROM documents),
+       (SELECT max(length(source)) FROM documents),
+       (SELECT count(DISTINCT source) FROM documents),
+       CASE WHEN (SELECT count(DISTINCT source) FROM documents) <= 16
+            THEN (SELECT list_sort(list(DISTINCT source)) FROM documents WHERE source IS NOT NULL)
+            END
+FROM n
+UNION ALL
+SELECT 'n_chars', 'integer', n.n_rows,
+       (SELECT count(*) FROM documents WHERE n_chars IS NULL),
+       (SELECT count(*) FROM documents WHERE n_chars IS NULL) = 0,
+       (SELECT CAST(min(n_chars) AS DOUBLE) FROM documents),
+       (SELECT CAST(max(n_chars) AS DOUBLE) FROM documents),
+       NULL, NULL,
+       (SELECT count(DISTINCT n_chars) FROM documents),
+       CAST(NULL AS VARCHAR[])
+FROM n
+"""
+
+
 def q_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
     return T.fingerprints(_t(spark, sf, "documents"))
 
@@ -1871,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_documents": q_decontam_documents,
         "overlap_documents": q_overlap_documents,
         "quantiles_documents": q_quantiles_documents,
+        "suggest_documents": q_suggest_documents,
         "fingerprints_documents": q_fingerprints_documents,
         "images_full_suite": q_images_full_suite,
     }
@@ -1930,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "overlap_documents": SQL_OVERLAP_DOCUMENTS,
         "quantiles_documents": SQL_QUANTILES_DOCUMENTS,
+        "suggest_documents": SQL_SUGGEST_DOCUMENTS,
         "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
         # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
         # have no DuckDB twin → rows-only checks + pytest goldens. The

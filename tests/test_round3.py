@@ -1526,3 +1526,43 @@ def test_x_json_payload_column_in_table_spec(spark):
     with pytest.raises(CompileError, match="x-json"):
         compile_table(specmod.parse(
             {"properties": {"w": {"x-json": True, "type": "object"}}}), df.schema)
+
+
+# --------------------------------------------- spec suggestion (suggest.py)
+
+def test_suggest_spec_golden_and_roundtrip(spark):
+    """suggest_spec drafts the spec from one fused profile aggregation; the
+    defining property: the source table validates CLEAN against its own
+    suggested spec (observed ranges/enums are by construction satisfied)."""
+    from jsonschema_spark.suggest import suggest_spec
+    from jsonschema_spark.engine import validate_rows
+
+    rows = [(1, "png", 10, None), (2, "bmp", 950, 1.5), (3, "png", 40, 2.5)]
+    df = spark.createDataFrame(rows, "id int, fmt string, w int, score double")
+    spec = suggest_spec(df)
+    assert spec["required"] == ["fmt", "id", "w"]          # score has a null
+    assert spec["properties"]["id"] == {
+        "type": "integer", "minimum": 1, "maximum": 3, "enum": [1, 2, 3]}
+    assert spec["properties"]["fmt"] == {
+        "type": "string", "minLength": 3, "maxLength": 3, "enum": ["bmp", "png"]}
+    assert spec["properties"]["w"]["minimum"] == 10
+    assert spec["properties"]["w"]["maximum"] == 950
+    assert spec["properties"]["score"]["type"] == "number"
+
+    got = validate_rows(df.withColumnRenamed("id", "rid").withColumn("id", F.col("rid")),
+                        spec, keys=["rid"]).collect()
+    assert got == []  # round-trip: table is clean under its own suggestion
+
+
+def test_suggest_spec_enum_guard_high_cardinality(spark):
+    """High-cardinality columns must NOT collect an enum set (the
+    approx-distinct guard) and must not carry an enum in the suggestion."""
+    from jsonschema_spark.suggest import suggest_spec, profile_columns
+
+    df = spark.range(5000).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("s"))
+    spec = suggest_spec(df, enum_max=16)
+    assert "enum" not in spec["properties"]["id"]
+    assert "enum" not in spec["properties"]["s"]
+    prof = {r["column"]: r for r in profile_columns(df, enum_max=16).collect()}
+    assert prof["s"]["enum_vals"] is None and prof["s"]["n_distinct"] == 5000

@@ -885,6 +885,18 @@ D7 = {
             ],
         },
     ],
+    "defs-ref.json": [
+        {
+            "description": "$defs (draft-2019 spelling of definitions) resolves via $ref",
+            "schema": {"$defs": {"posint": {"type": "integer", "minimum": 1}},
+                       "properties": {"n": {"$ref": "#/$defs/posint"}}},
+            "tests": [
+                {"description": "valid per def", "data": {"n": 5}, "valid": True},
+                {"description": "below minimum", "data": {"n": 0}, "valid": False},
+                {"description": "wrong type", "data": {"n": "x"}, "valid": False},
+            ],
+        },
+    ],
     "unevaluated.json": [
         {
             "description": "unevaluatedProperties false, properties only",
