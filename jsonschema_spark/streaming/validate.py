@@ -45,13 +45,26 @@ def windowed_stats_stream(
     ts_col: str = "ts",
     window: str = "1 minute",
     watermark: str = "2 minutes",
+    with_quantiles: bool = False,
+    kll_k: int = 200,
 ) -> DataFrame:
     """Tumbling-window column stats with late-data watermark: per (window,
     column) min/max/count/null-count — the streaming analogue of the fused
-    B14 stats pass (map-side partial aggregation applies per micro-batch)."""
+    B14 stats pass (map-side partial aggregation applies per micro-batch).
+
+    ``with_quantiles`` adds a mergeable KLL sketch per NUMERIC column
+    (binary, the streaming analogue of B42): window sketches written to the
+    sink can later be merged across windows / with the batch stats manifest
+    via ``passes.stats.merge_quantiles`` — one continuous quantile surface
+    over batch + stream."""
     w = stream_df.withWatermark(ts_col, watermark).groupBy(
         F.window(F.col(ts_col), window).alias("win")
     )
+    numeric = {
+        f.name for f in stream_df.schema.fields
+        if f.dataType.typeName().startswith(
+            ("byte", "short", "integer", "long", "float", "double", "decimal"))
+    }
     aggs = []
     for c in cols:
         aggs += [
@@ -60,6 +73,10 @@ def windowed_stats_stream(
             F.count(c).alias(f"{c}_count"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
         ]
+        if with_quantiles and c in numeric:
+            aggs.append(
+                F.kll_sketch_agg_double(F.col(c).cast("double"), F.lit(kll_k))
+                .alias(f"{c}_kll"))
     return w.agg(*aggs)
 
 

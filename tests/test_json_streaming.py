@@ -199,3 +199,34 @@ def test_streaming_histograms_feed_divergence_metrics(spark, tmp_path):
     assert m["b"]["tvd"] > 0.8
     assert m["b"]["jsd"] > m["a"]["jsd"]
     assert m["b"]["chi2_p"] < 0.001
+
+
+def test_windowed_stats_stream_with_quantiles(spark, tmp_path):
+    """Streaming KLL sketches (B42 analogue): per-window binary state that
+    merges with the batch rollup — merged quantiles over all windows equal
+    the exact values (kll_k above the row count)."""
+    from pyspark.sql import functions as F
+    from jsonschema_spark.passes.stats import merge_quantiles
+
+    src = tmp_path / "srcq"
+    rows = [(i, float(i), f"2024-01-01 00:0{i % 2}:15") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, value double, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema("id long, value double, ts timestamp") \
+        .parquet(str(src))
+    stats = S.windowed_stats_stream(stream, ["value"], ts_col="ts",
+                                    window="1 minute", with_quantiles=True,
+                                    kll_k=2048)
+    q = (stats.writeStream.format("memory").queryName("q_out")
+         .outputMode("complete").start())
+    _run_stream(q)
+    out = spark.sql("SELECT * FROM q_out")
+    assert "value_kll" in out.columns
+    # the window sketches merge through the SAME batch rollup surface
+    merged = merge_quantiles(
+        out.select(F.lit("value").alias("column"),
+                   F.col("value_kll").alias("kll_sketch")))
+    got = merged.collect()[0]
+    # inclusive rank over 0..99: q50 -> 49, q90 -> 89, q99 -> 98
+    assert (got["q50"], got["q90"], got["q99"]) == (49.0, 89.0, 98.0)
