@@ -1815,6 +1815,66 @@ FROM n
 """
 
 
+def q_chunks_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-embedding document chunking: fixed 20-token windows with 5 tokens
+    of overlap, pure higher-order Column exprs (sequence->slice->array_join)
+    on the scan — no UDF, no shuffle."""
+    from jsonschema_spark.operators.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"),
+                           chunk_tokens=20, overlap=5)
+
+
+SQL_CHUNKS_DOCUMENTS = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, wl, u.s AS start, (u.s - 1) / 15 AS chunk_idx
+  FROM w, UNNEST(range(1, GREATEST(len(wl), 1) + 1, 15)) AS u(s)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(wl[start:start+19]) AS INT) AS n_chunk_tokens,
+       array_to_string(wl[start:start+19], ' ') AS chunk
+FROM s
+"""
+
+
+def q_packs_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing into 200-token training sequences, partition-local
+    (window per derived part, no global sort): pack_id = floor((cumsum -
+    tokens)/budget) — a doc starts a new pack when the running total would
+    cross the boundary."""
+    from jsonschema_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf, "documents").withColumn("grp", F.col("doc_id") % 8)
+    return pack_sequences(docs, budget=200, part_col="grp")
+
+
+SQL_PACKS_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id % 8 AS part, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT part, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (
+  SELECT part, doc_id, n_tokens,
+         CAST(floor((cum - n_tokens) / 200.0) AS BIGINT) AS pack_id
+  FROM c
+)
+SELECT part, doc_id, n_tokens, pack_id,
+       CAST(row_number() OVER (PARTITION BY part, pack_id ORDER BY doc_id) AS INT) AS pack_pos
+FROM p
+"""
+
+
 def q_fingerprints_documents(spark: SparkSession, sf: str) -> DataFrame:
     return T.fingerprints(_t(spark, sf, "documents"))
 
@@ -1932,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_documents": q_overlap_documents,
         "quantiles_documents": q_quantiles_documents,
         "suggest_documents": q_suggest_documents,
+        "chunks_documents": q_chunks_documents,
+        "packs_documents": q_packs_documents,
         "fingerprints_documents": q_fingerprints_documents,
         "images_full_suite": q_images_full_suite,
     }
@@ -1992,6 +2054,8 @@ def oracle_sql() -> dict[str, str]:
         "overlap_documents": SQL_OVERLAP_DOCUMENTS,
         "quantiles_documents": SQL_QUANTILES_DOCUMENTS,
         "suggest_documents": SQL_SUGGEST_DOCUMENTS,
+        "chunks_documents": SQL_CHUNKS_DOCUMENTS,
+        "packs_documents": SQL_PACKS_DOCUMENTS,
         "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
         # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
         # have no DuckDB twin → rows-only checks + pytest goldens. The

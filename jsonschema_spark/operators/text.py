@@ -188,3 +188,46 @@ def top_ngram_fraction(
             .alias("top_gram_char_frac"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of ``chunk_tokens``
+    with ``overlap`` tokens of context carried between consecutive chunks —
+    the standard pre-embedding / RAG chunking step. Pure higher-order Column
+    expressions (sequence -> slice -> array_join) on the scan: no UDF, no
+    shuffle; the explode multiplies rows by ceil(tokens/stride), bounded by
+    document length. Output: (id_col, chunk_idx, n_chunk_tokens, chunk).
+
+    Chunk starts advance by stride = chunk_tokens - overlap; the last chunk
+    may be shorter. Deterministic and engine-portable (DuckDB oracle twin).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    # chunk start positions (1-based): 1, 1+stride, ... while start <= n
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(ws, s, F.lit(chunk_tokens)).alias("_toks"),
+        ),
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c._toks").alias("n_chunk_tokens"),
+            F.array_join("c._toks", " ").alias("chunk"),
+        )
+    )

@@ -1566,3 +1566,50 @@ def test_suggest_spec_enum_guard_high_cardinality(spark):
     assert "enum" not in spec["properties"]["s"]
     prof = {r["column"]: r for r in profile_columns(df, enum_max=16).collect()}
     assert prof["s"]["enum_vals"] is None and prof["s"]["n_distinct"] == 5000
+
+
+# ------------------------------------ chunking + sequence packing (training)
+
+def test_chunk_documents_boundaries_and_no_shuffle(spark):
+    from jsonschema_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "a b"), (3, None)],
+        "doc_id int, text string")
+    got = sorted((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk"])
+                 for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect())
+    # stride 3: starts 1,4,7,10 -> chunks of 4,4,4,1; doc2: one short chunk
+    assert [(i, n) for d, i, n, _ in got if d == 1] == [(0, 4), (1, 4), (2, 4), (3, 1)]
+    assert got[0][3] == "t0 t1 t2 t3" and got[1][3] == "t3 t4 t5 t6"
+    assert [(i, n, c) for d, i, n, c in got if d == 2] == [(0, 2, "a b")]
+    assert not any(d == 3 for d, *_ in got)  # null text dropped
+    # overlap carried: first token of chunk k == last token of chunk k-1
+    plan = chunk_documents(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_boundaries_and_stats(spark):
+    from jsonschema_spark.operators.packing import pack_sequences, packing_stats
+
+    rows = [(i, "p1" if i < 4 else "p2", 60) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, toks int")
+    packed = pack_sequences(df, budget=100, part_col="grp", token_col="toks")
+    got = {(r["part"], r["doc_id"]): (r["pack_id"], r["pack_pos"])
+           for r in packed.collect()}
+    # per part: cum 60,120,180,240 -> pack floor(pre/100): 0,0,1,1
+    assert got[("p1", 0)] == (0, 1) and got[("p1", 1)] == (0, 2)
+    assert got[("p1", 2)] == (1, 1) and got[("p1", 3)] == (1, 2)
+    assert got[("p2", 4)][0] == 0 and got[("p2", 6)][0] == 1
+
+    st = {(r["part"], r["pack_id"]): (r["n_docs"], r["pack_tokens"], r["overflow_tokens"])
+          for r in packing_stats(packed, 100).collect()}
+    # straddling doc charged to the pack it starts in -> overflow 20
+    assert st[("p1", 0)] == (2, 120, 20)
+
+    # windows are partition-local: no global single-partition sort
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
