@@ -373,6 +373,17 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
                 # decode-failure is contentEncoding's violation, not this one's
                 ok = F.when(col.rlike(formats.BASE64_RE), ok).otherwise(F.lit(True))
             add("contentMediaType", _forgive_null(col, ok))
+            if mt == "application/json" and node.content_schema is not None:
+                # d2019 contentSchema: re-validate the decoded JSON content
+                cs = node.content_schema
+                jtxt = blob.cast("string") if node.content_encoding == "base64" else col
+                cdt = spec_struct_type(cs)
+                cs_ok = F.coalesce(
+                    node_valid(cs, F.from_json(jtxt, cdt), cdt), F.lit(True))
+                # only judge content that parsed as JSON (media-type/encoding
+                # violations own the unparseable cases)
+                add("contentSchema", _forgive_null(
+                    col, F.when(ok, cs_ok).otherwise(F.lit(True))))
 
     # --- A10–A13 arrays ------------------------------------------------------
     if isinstance(dt, T.ArrayType) or (dt is None and (

@@ -149,6 +149,13 @@ def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa
                 data = base64.b64decode(v)
             if not formats.check_media_type(data, n.content_media_type):
                 out.append(Violation("contentMediaType", path, v))
+            elif n.content_schema is not None \
+                    and n.content_media_type == "application/json":
+                import json as _json
+                doc = _json.loads(data if isinstance(data, str)
+                                  else data.decode("utf-8"))
+                if not _eval_quiet(doc, n.content_schema):
+                    out.append(Violation("contentSchema", path, v))
 
     if isinstance(v, list):
         if n.min_items is not None and len(v) < n.min_items:

@@ -88,6 +88,7 @@ class SpecNode:
     property_names: "SpecNode | None" = None     # draft-6
     content_encoding: str | None = None          # draft-7 §8 (asserting mode)
     content_media_type: str | None = None
+    content_schema: "SpecNode | None" = None     # d2019 §8.5: schema for decoded JSON
     # draft-2019 §9.3.2.4/§9.3.1.3 — apply to properties/items not evaluated
     # by this schema or a SUCCESSFULLY-validating in-place applicator branch
     unevaluated_properties: "SpecNode | bool | None" = None
@@ -368,6 +369,10 @@ def _parse_node(
         kw["content_encoding"] = s["contentEncoding"]
     if "contentMediaType" in s:
         kw["content_media_type"] = s["contentMediaType"]
+    if "contentSchema" in s and s.get("contentMediaType") == "application/json":
+        # d2019 §8.5: contentSchema only applies alongside contentMediaType;
+        # JSON is the one media type whose decoded form we can re-validate
+        kw["content_schema"] = _sub(s["contentSchema"], root, depth + 1, ref_stack)
     if "disallow" in s:                    # d3 §5.25: type name | schema | list
         dv = s["disallow"]
         if not isinstance(dv, list):

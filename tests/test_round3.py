@@ -1613,3 +1613,21 @@ def test_pack_sequences_boundaries_and_stats(spark):
     # windows are partition-local: no global single-partition sort
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_content_schema_base64_json(spark):
+    """contentSchema composed with contentEncoding: decoded base64 JSON is
+    re-validated against the subschema; unparseable content stays owned by
+    contentEncoding/contentMediaType."""
+    import base64
+    from jsonschema_spark.engine import validate_rows
+
+    spec = {"contentEncoding": "base64", "contentMediaType": "application/json",
+            "contentSchema": {"required": ["k"], "properties": {"k": {"minimum": 5}}}}
+    rows = [(1, base64.b64encode(b'{"k": 9}').decode()),
+            (2, base64.b64encode(b'{"k": 1}').decode()),
+            (3, "!!!")]
+    df = spark.createDataFrame(rows, "id int, p string")
+    got = sorted((r["id"], r["keyword"]) for r in validate_rows(
+        df, {"properties": {"p": spec}}, keys=["id"]).collect())
+    assert got == [(2, "contentSchema"), (3, "contentEncoding")]

@@ -863,6 +863,27 @@ D7 = {
             ],
         },
     ],
+    "content-schema.json": [
+        {
+            "description": "contentSchema re-validates decoded JSON (d2019 §8.5)",
+            "schema": {"contentMediaType": "application/json",
+                       "contentSchema": {"required": ["k"],
+                                         "properties": {"k": {"minimum": 5}}}},
+            "tests": [
+                {"description": "content satisfies schema", "data": "{\"k\": 7}", "valid": True},
+                {"description": "content violates schema", "data": "{\"k\": 2}", "valid": False},
+                {"description": "required key missing in content", "data": "{\"z\": 1}", "valid": False},
+                {"description": "unparseable is mediaType's violation only", "data": "nope", "valid": False},
+            ],
+        },
+        {
+            "description": "contentSchema inert without application/json",
+            "schema": {"contentSchema": {"required": ["k"]}},
+            "tests": [
+                {"description": "no media type declared -> annotation only", "data": "{}", "valid": True},
+            ],
+        },
+    ],
     "formats7.json": [
         {
             "description": "draft-6/7 format additions",
