@@ -152,3 +152,68 @@ if HAVE_HYPOTHESIS:
                 f"row {i} doc={doc} schema={schema}: "
                 f"E1={is_valid(doc, schema)} E2={'valid' if i not in bad_ids else 'invalid'}"
             )
+
+
+if HAVE_HYPOTHESIS:
+    # round-3 keywords: root conditional (if/then/else) and contains bounds —
+    # same E1↔E2 agreement property over random flat specs × random rows
+    @given(
+        data=rows,
+        ifmin=st.integers(-10, 10),
+        thenlen=st.integers(0, 4),
+        elsepat=st.sampled_from(["^a", "b$", "^[ab]+$"]),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_random_conditional_agreement(spark, data, ifmin, thenlen, elsepat):
+        schema = {
+            "properties": {"n": {}, "s": {}},
+            "if": {"properties": {"n": {"minimum": ifmin}}, "required": ["n"]},
+            "then": {"properties": {"s": {"minLength": thenlen}}},
+            "else": {"properties": {"s": {"pattern": elsepat}}},
+        }
+        df = spark.createDataFrame(
+            [(i, n, t) for i, (n, t) in enumerate(data)], "id long, n long, s string"
+        )
+        bad_ids = {
+            r.id for r in validate_rows(df, schema, keys=["id"]).select("id").collect()
+        }
+        for i, (n, t) in enumerate(data):
+            doc = {}
+            if n is not None:
+                doc["n"] = n
+            if t is not None:
+                doc["s"] = t
+            assert is_valid(doc, schema) == (i not in bad_ids), (
+                f"row {i} doc={doc} schema={schema}")
+
+    arr_rows = st.lists(
+        st.one_of(st.none(),
+                  st.lists(st.integers(-10, 10), min_size=0, max_size=6)),
+        min_size=1, max_size=15,
+    )
+
+    @given(data=arr_rows, cmin=st.integers(-5, 5),
+           mn=st.integers(0, 3), extra=st.integers(0, 3))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_random_contains_bounds_agreement(spark, data, cmin, mn, extra):
+        schema = {"properties": {"xs": {
+            "contains": {"minimum": cmin},
+            "minContains": mn, "maxContains": mn + extra}}}
+        df = spark.createDataFrame(
+            [(i, xs) for i, xs in enumerate(data)], "id long, xs array<long>"
+        )
+        bad_ids = {
+            r.id for r in validate_rows(df, schema, keys=["id"]).select("id").collect()
+        }
+        for i, xs in enumerate(data):
+            doc = {} if xs is None else {"xs": xs}
+            assert is_valid(doc, schema) == (i not in bad_ids), (
+                f"row {i} doc={doc} schema={schema}")
