@@ -171,6 +171,31 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
 
 
+def minhash_band_buckets(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band, bucket) — the storable LSH index rows for a signature
+    table. At 10^12 scale this IS the persisted dedup index: computed once
+    per corpus, appended per ingestion batch, and equi-joined against by
+    every arriving batch (see ``minhash_incremental_candidates``)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_entries).alias("e")).select(
+        "id", "e.band", "e.bucket"
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 64,
@@ -184,24 +209,9 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs via LSH banding: docs sharing ANY band
     signature. (id_a, id_b) distinct pairs. bands must divide num_hashes.
     ``hash_fn`` threads through to minhash_signatures (oracle variants)."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, id_col, text_col, n,
                              max_shingle_freq, hash_fn)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select("id", F.explode(band_entries).alias("e")).select(
-        "id", "e.band", "e.bucket"
-    )
+    buckets = minhash_band_buckets(sig, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -213,6 +223,52 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_incremental_candidates(
+    new_df: DataFrame,
+    corpus_buckets: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    hash_fn=None,
+) -> DataFrame:
+    """Incremental-ingestion dedup: candidate pairs between a NEW batch and
+    the stored corpus LSH index (``minhash_band_buckets`` rows), plus pairs
+    WITHIN the batch. Only the batch is shingled/signed — the historical
+    corpus is never rescanned; the corpus side joins on its persisted
+    (band, bucket) index, which at north scale is bucketed storage so the
+    per-batch join is index-side shuffle-free.
+
+    Output: (id_new, id_other, origin) with origin in {'corpus','batch'};
+    completeness invariant (test-pinned): corpus-vs-batch ∪ within-batch
+    equals the full-corpus candidate set restricted to pairs touching the
+    batch."""
+    sig = minhash_signatures(new_df, num_hashes, id_col, text_col, n,
+                             max_shingle_freq, hash_fn)
+    nb = minhash_band_buckets(sig, num_hashes, bands)
+    a, c = nb.alias("a"), corpus_buckets.alias("c")
+    vs_corpus = (
+        a.join(c, (F.col("a.band") == F.col("c.band"))
+               & (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.id") != F.col("c.id")))
+        .select(F.col("a.id").alias("id_new"), F.col("c.id").alias("id_other"),
+                F.lit("corpus").alias("origin"))
+        .distinct()
+    )
+    x, y = nb.alias("x"), nb.alias("y")
+    within = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_new"), F.col("y.id").alias("id_other"),
+                F.lit("batch").alias("origin"))
+        .distinct()
+    )
+    return vs_corpus.unionByName(within)
 
 
 def minhash_dedup(

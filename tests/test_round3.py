@@ -1631,3 +1631,33 @@ def test_content_schema_base64_json(spark):
     got = sorted((r["id"], r["keyword"]) for r in validate_rows(
         df, {"properties": {"p": spec}}, keys=["id"]).collect())
     assert got == [(2, "contentSchema"), (3, "contentEncoding")]
+
+
+# -------------------------------------------- incremental dedup (LSH index)
+
+def test_minhash_incremental_matches_full_corpus(spark):
+    """Completeness invariant of the incremental path: (batch vs stored
+    corpus index) ∪ (within-batch) == the full-corpus candidate set
+    restricted to pairs touching the batch — the historical corpus is never
+    rescanned, only its persisted (band, bucket) index rows are joined."""
+    from jsonschema_spark.operators import dedup as D
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, base + f" tail{i}") for i in range(8)]          # near-dups of each other
+    rows += [(100 + i, " ".join(f"u{i}x{j}" for j in range(30))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.where(F.col("doc_id") < 4)       # historical corpus
+    new = df.where(F.col("doc_id") >= 4)      # arriving batch
+
+    corpus_idx = D.minhash_band_buckets(
+        D.minhash_signatures(old, 64), 64, 16)
+    inc = D.minhash_incremental_candidates(new, corpus_idx, 64, 16).collect()
+    got = {(min(r.id_new, r.id_other), max(r.id_new, r.id_other)) for r in inc}
+    origins = {r.origin for r in inc}
+    assert origins == {"corpus", "batch"}     # both streams non-vacuous
+
+    full = D.minhash_lsh_candidates(df, 64, 16).collect()
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    expected = {(r.id_a, r.id_b) for r in full
+                if r.id_a in new_ids or r.id_b in new_ids}
+    assert got == expected and len(expected) > 0
