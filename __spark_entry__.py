@@ -1931,6 +1931,71 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_row_checks_lineitem(spark, "/root/testdata/sf0.001")
 
 
+def q_curate_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation funnel (operators/curate.py): lang filter ->
+    quality filter -> PII redaction -> exact dedup -> splits, each stage a
+    composition of this package's operators with its own scale shape. The
+    funnel (docs surviving each stage) is deterministic -> exact DuckDB
+    twin replicating every stage in SQL."""
+    from jsonschema_spark.operators.curate import curate
+
+    _, funnel = curate(_t(spark, sf, "documents"), lang="en", quality=True,
+                       redact_pii=True, near_dup_threshold=None,
+                       split_weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    return funnel
+
+
+SQL_CURATE_DOCUMENTS = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS wl FROM documents
+),
+scored AS (
+  SELECT doc_id, text, wl,
+    {_LANG_SCORE['de']} AS s_de, {_LANG_SCORE['en']} AS s_en, {_LANG_SCORE['es']} AS s_es,
+    {_LANG_SCORE['fr']} AS s_fr, {_LANG_SCORE['zh']} AS s_zh
+  FROM w
+),
+langed AS (
+  SELECT doc_id, text, wl FROM scored
+  WHERE GREATEST(s_de,s_en,s_es,s_fr,s_zh) > 0
+    AND s_en = GREATEST(s_de,s_en,s_es,s_fr,s_zh)
+    AND s_de <> GREATEST(s_de,s_en,s_es,s_fr,s_zh)
+),
+qual AS (
+  SELECT doc_id, text FROM langed
+  WHERE len(wl) >= 5 AND length(text) >= 20
+    AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+        / GREATEST(length(text), 1) < 0.3
+),
+red AS (
+  SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text,
+    '{_SQL_PII_RX["email"]}', '[EMAIL]', 'g'),
+    '{_SQL_PII_RX["uuid"]}', '[UUID]', 'g'),
+    '{_SQL_PII_RX["ipv4"]}', '[IPV4]', 'g'),
+    '{_SQL_PII_RX["ssn"]}', '[SSN]', 'g'),
+    '{_SQL_PII_RX["phone"]}', '[PHONE]', 'g') AS text
+  FROM qual
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           '\\s+', ' ', 'g'))) AS fingerprint
+  FROM red
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+)
+SELECT 0 AS stage_idx, 'input' AS stage, (SELECT count(*) FROM documents) AS n_docs
+UNION ALL SELECT 1, 'lang', (SELECT count(*) FROM langed)
+UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM qual)
+UNION ALL SELECT 3, 'redact', (SELECT count(*) FROM qual)
+UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM deduped)
+UNION ALL SELECT 5, 'split', (SELECT count(*) FROM deduped)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_checks_lineitem": q_row_checks_lineitem,
@@ -1994,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_documents": q_suggest_documents,
         "chunks_documents": q_chunks_documents,
         "packs_documents": q_packs_documents,
+        "curate_documents": q_curate_documents,
         "fingerprints_documents": q_fingerprints_documents,
         "images_full_suite": q_images_full_suite,
     }
@@ -2056,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_documents": SQL_SUGGEST_DOCUMENTS,
         "chunks_documents": SQL_CHUNKS_DOCUMENTS,
         "packs_documents": SQL_PACKS_DOCUMENTS,
+        "curate_documents": SQL_CURATE_DOCUMENTS,
         "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
         # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
         # have no DuckDB twin → rows-only checks + pytest goldens. The

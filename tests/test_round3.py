@@ -1661,3 +1661,43 @@ def test_minhash_incremental_matches_full_corpus(spark):
     expected = {(r.id_a, r.id_b) for r in full
                 if r.id_a in new_ids or r.id_b in new_ids}
     assert got == expected and len(expected) > 0
+
+
+# --------------------------------------------------- curation pipeline (E2E)
+
+def test_curate_pipeline_every_stage_bites(spark):
+    """Planted corpus where each stage removes something: non-English docs,
+    a too-short doc, exact dups (post-redaction), and near-dups; the funnel
+    counts descend accordingly and the curated output carries redacted text
+    + deterministic splits."""
+    from jsonschema_spark.operators.curate import curate
+
+    en = ("the quick brown fox jumps over the lazy dog and it is that for " * 3)
+    rows = [
+        (1, en + "one"),
+        (2, en + "two"),
+        (3, en + "one"),                    # exact dup of 1 (post-normalization)
+        (4, "der die das und ist nicht ein mit fur von der die das und ist"),  # German
+        (5, "the of to"),                   # too short -> quality
+        (6, en + "mail me at a@b.com for it"),   # PII -> redacted
+        (7, en + "one two three four five six"),  # near-dup of 1 under low threshold
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, funnel = curate(df, lang="en", quality=True, redact_pii=True,
+                             near_dup_threshold=0.5,
+                             split_weights={"train": 0.8, "val": 0.2})
+    f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert f["input"] == 7
+    assert f["lang"] == 6          # doc 4 out
+    assert f["quality"] == 5       # doc 5 out
+    assert f["redact"] == 5
+    assert f["exact_dedup"] == 4   # doc 3 out (dup of 1)
+    assert f["near_dedup"] < 4     # doc 7 (and/or 2/6) folded into canonical
+    assert f["split"] == f["near_dedup"]
+
+    out = curated.collect()
+    assert all(r["split"] in ("train", "val") for r in out)
+    kept = {r["doc_id"]: r["text"] for r in out}
+    assert 1 in kept and 4 not in kept and 5 not in kept and 3 not in kept
+    if 6 in kept:
+        assert "[EMAIL]" in kept[6] and "a@b.com" not in kept[6]
