@@ -1996,6 +1996,33 @@ UNION ALL SELECT 5, 'split', (SELECT count(*) FROM deduped)
 """
 
 
+def q_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot regression diff (operators/diff.py): old = documents, new =
+    a derived v2 (doc_id%97 removed, %13 texts edited, %41 re-added under
+    shifted ids) — added/removed/changed by key via ONE co-partitioned full
+    outer join over (key, row-hash) narrow projections. Expected set is
+    doc_id arithmetic for the oracle."""
+    from jsonschema_spark.operators.diff import snapshot_diff
+
+    docs = _t(spark, sf, "documents")
+    new = (docs.where(F.col("doc_id") % 97 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 13 == 0,
+                                      F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text")))
+           .unionByName(docs.where(F.col("doc_id") % 41 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 100000)))
+    return snapshot_diff(docs, new, ["doc_id"]).select("doc_id", "status")
+
+
+SQL_DIFF_DOCUMENTS = """
+SELECT doc_id, 'removed' AS status FROM documents WHERE doc_id % 97 = 0
+UNION ALL
+SELECT doc_id, 'changed' FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 13 = 0
+UNION ALL
+SELECT doc_id + 100000, 'added' FROM documents WHERE doc_id % 41 = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_checks_lineitem": q_row_checks_lineitem,
@@ -2060,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_documents": q_chunks_documents,
         "packs_documents": q_packs_documents,
         "curate_documents": q_curate_documents,
+        "diff_documents": q_diff_documents,
         "fingerprints_documents": q_fingerprints_documents,
         "images_full_suite": q_images_full_suite,
     }
@@ -2123,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "chunks_documents": SQL_CHUNKS_DOCUMENTS,
         "packs_documents": SQL_PACKS_DOCUMENTS,
         "curate_documents": SQL_CURATE_DOCUMENTS,
+        "diff_documents": SQL_DIFF_DOCUMENTS,
         "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
         # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
         # have no DuckDB twin → rows-only checks + pytest goldens. The

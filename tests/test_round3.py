@@ -1701,3 +1701,34 @@ def test_curate_pipeline_every_stage_bites(spark):
     assert 1 in kept and 4 not in kept and 5 not in kept and 3 not in kept
     if 6 in kept:
         assert "[EMAIL]" in kept[6] and "a@b.com" not in kept[6]
+
+
+# ------------------------------------------------ snapshot diff (versioning)
+
+def test_snapshot_diff_statuses_and_schema_diff(spark):
+    from jsonschema_spark.operators.diff import snapshot_diff, diff_summary, schema_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, w int")
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k long, v string, w int")
+    d = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert d == {2: "changed", 3: "removed", 4: "added"}
+    s = {r["status"]: r["n"] for r in diff_summary(
+        snapshot_diff(old, new, ["k"], include_unchanged=True)).collect()}
+    assert s == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+    # NULL vs empty-string must differ (sentinel in the hash input)
+    o2 = spark.createDataFrame([(1, None)], "k long, v string")
+    n2 = spark.createDataFrame([(1, "")], "k long, v string")
+    assert snapshot_diff(o2, n2, ["k"]).collect()[0]["status"] == "changed"
+
+    # widened column types hash equal (cast-to-string normalization)
+    o3 = spark.createDataFrame([(1, 7)], "k long, v int")
+    n3 = spark.createDataFrame([(1, 7)], "k long, v bigint")
+    assert snapshot_diff(o3, n3, ["k"]).collect() == []
+
+    sd = schema_diff(old, new.withColumn("z", F.lit(1.0))
+                     .withColumn("w", F.col("w").cast("long")).drop("v"))
+    assert {(c["column"], c["change"]) for c in sd} == {
+        ("z", "added"), ("v", "removed"), ("w", "type_changed")}
