@@ -387,6 +387,75 @@ def hamming_near_duplicates(
     )
 
 
+def hamming_block_index(
+    sig: DataFrame, max_hamming: int = 3, sig_col: str = "simhash"
+) -> DataFrame:
+    """(id, simhash, blk, key) — the storable pigeonhole index rows for a
+    64-bit signature table (phash / SimHash). At north scale this is the
+    persisted image-dedup index: each ingestion batch joins its own block
+    rows against it instead of re-blocking 10^12 historical signatures."""
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sig = sig.select("id", F.col(sig_col).alias("simhash"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("blk"),
+                F.shiftright(F.col("simhash"), k * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for k in range(blocks)
+        ]
+    )
+    return sig.select("id", "simhash", F.explode(entries).alias("e")).select(
+        "id", "simhash", "e.blk", "e.key"
+    )
+
+
+def hamming_incremental_candidates(
+    new_sig: DataFrame,
+    corpus_index: DataFrame,
+    max_hamming: int = 3,
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Incremental image/sim-hash dedup: exact-Hamming pairs between a NEW
+    batch's signatures and the stored corpus block index
+    (``hamming_block_index`` rows), plus pairs within the batch — the
+    historical corpus is never re-blocked. Pigeonhole completeness holds per
+    stream, so (batch-vs-corpus ∪ within-batch) equals the full-corpus pair
+    set restricted to pairs touching the batch (test-pinned).
+    Output: (id_new, id_other, hamming, origin)."""
+    nb = hamming_block_index(new_sig, max_hamming, sig_col)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    a, c = nb.alias("a"), corpus_index.alias("c")
+    vs_corpus = (
+        a.join(c, (F.col("a.blk") == F.col("c.blk"))
+               & (F.col("a.key") == F.col("c.key"))
+               & (F.col("a.id") != F.col("c.id")))
+        .select(F.col("a.id").alias("id_new"), F.col("c.id").alias("id_other"),
+                F.col("a.simhash").alias("sh_a"), F.col("c.simhash").alias("sh_b"),
+                F.lit("corpus").alias("origin"))
+        .distinct()
+    )
+    x, y = nb.alias("x"), nb.alias("y")
+    within = (
+        x.join(y, (F.col("x.blk") == F.col("y.blk"))
+               & (F.col("x.key") == F.col("y.key"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_new"), F.col("y.id").alias("id_other"),
+                F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"),
+                F.lit("batch").alias("origin"))
+        .distinct()
+    )
+    return (
+        vs_corpus.unionByName(within)
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_new", "id_other", "hamming", "origin")
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 64, hash_fn=None,

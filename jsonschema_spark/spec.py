@@ -143,10 +143,34 @@ def _as_tuple_of_types(v: Any) -> tuple[str, ...]:
     return vals
 
 
+def _find_anchor(doc: Any, name: str) -> Any:
+    """Depth-first search for a subschema carrying ``$anchor: name``
+    (draft-2019 §8.2.3 plain-name fragments, same-document)."""
+    if isinstance(doc, dict):
+        if doc.get("$anchor") == name:
+            return doc
+        for v in doc.values():
+            hit = _find_anchor(v, name)
+            if hit is not None:
+                return hit
+    elif isinstance(doc, list):
+        for v in doc:
+            hit = _find_anchor(v, name)
+            if hit is not None:
+                return hit
+    return None
+
+
 def _resolve_pointer(doc: Any, pointer: str) -> Any:
-    """Resolve a '#/a/b' JSON-Pointer fragment against the root schema doc."""
+    """Resolve a '#/a/b' JSON-Pointer fragment — or a '#name' plain-name
+    $anchor fragment (d2019) — against the root schema doc."""
     if not pointer.startswith("#"):
         raise SpecError(f"only same-document $refs supported, got {pointer!r}")
+    if len(pointer) > 1 and not pointer[1:].startswith("/"):
+        hit = _find_anchor(doc, pointer[1:])
+        if hit is None:
+            raise SpecError(f"unresolvable $anchor ref: {pointer!r}")
+        return hit
     cur = doc
     frag = pointer[1:].lstrip("/")
     if not frag:

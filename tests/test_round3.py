@@ -1732,3 +1732,32 @@ def test_snapshot_diff_statuses_and_schema_diff(spark):
                      .withColumn("w", F.col("w").cast("long")).drop("v"))
     assert {(c["column"], c["change"]) for c in sd} == {
         ("z", "added"), ("v", "removed"), ("w", "type_changed")}
+
+
+def test_hamming_incremental_matches_full_corpus(spark):
+    """Image-side incremental dedup (phash pigeonhole index): batch-vs-index
+    union within-batch equals the full pair set restricted to pairs touching
+    the batch — pigeonhole completeness is preserved per stream."""
+    from jsonschema_spark.operators import dedup as D
+
+    base = 0x0123456789ABCDEF
+    rows = [(i, base ^ (1 << i)) for i in range(6)]           # pairwise dist 2
+    rows += [(100 + i, (~base & 0xFFFFFFFFFFFFFFFF) ^ (7 << (8 * i)))
+             for i in range(3)]                                # far cluster
+    sig = spark.createDataFrame(
+        [(i, s - (1 << 63) if s >= (1 << 63) else s) for i, s in rows],
+        "id long, simhash long")
+    old = sig.where(F.col("id") < 3)
+    new = sig.where(F.col("id") >= 3)
+
+    idx = D.hamming_block_index(old, max_hamming=3)
+    inc = D.hamming_incremental_candidates(new, idx, max_hamming=3).collect()
+    got = {(min(r.id_new, r.id_other), max(r.id_new, r.id_other), r.hamming)
+           for r in inc}
+    assert {r.origin for r in inc} == {"corpus", "batch"}
+
+    full = D.hamming_near_duplicates(sig, max_hamming=3).collect()
+    new_ids = {r.id for r in new.select("id").collect()}
+    expected = {(r.id_a, r.id_b, r.hamming) for r in full
+                if r.id_a in new_ids or r.id_b in new_ids}
+    assert got == expected and len(expected) > 0

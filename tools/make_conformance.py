@@ -918,6 +918,18 @@ D7 = {
             ],
         },
     ],
+    "anchor-ref.json": [
+        {
+            "description": "$anchor plain-name fragment resolves via $ref (d2019 §8.2.3)",
+            "schema": {"$defs": {"p": {"$anchor": "posint", "type": "integer", "minimum": 1}},
+                       "properties": {"n": {"$ref": "#posint"}}},
+            "tests": [
+                {"description": "valid per anchored def", "data": {"n": 5}, "valid": True},
+                {"description": "below minimum", "data": {"n": 0}, "valid": False},
+                {"description": "wrong type", "data": {"n": "x"}, "valid": False},
+            ],
+        },
+    ],
     "unevaluated.json": [
         {
             "description": "unevaluatedProperties false, properties only",
