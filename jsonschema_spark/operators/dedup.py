@@ -552,3 +552,82 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     policy). At scale this is a left_anti join against the (small) drop-list."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def embedding_bucket_index(
+    df: DataFrame,
+    planes: int = 8,
+    tables: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, nrm, tbl, bkt) — the storable LSH index rows for a corpus
+    embedding table (hyperplanes are deterministic in (dim, planes, seed),
+    so batches indexed later land in the SAME buckets). The vector and its
+    norm ride along because the verify stage needs them; at north scale the
+    index is bucketed storage on (tbl, bkt)."""
+    from .similarity import _norm, _hyperplanes, lsh_buckets_all, resolve_dim
+
+    dim = resolve_dim(df, vec_col, dim)
+    all_planes = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    return v.select("id", "v", "nrm",
+                    F.explode(lsh_buckets_all("v", all_planes)).alias("e")).select(
+        "id", "v", "nrm", "e.tbl", "e.bkt"
+    )
+
+
+def embedding_incremental_near_duplicates(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding near-dup: exact-cosine-verified pairs between a
+    NEW batch and the stored corpus LSH index (``embedding_bucket_index``
+    rows — MUST have been built with the same (planes, tables, dim, seed)),
+    plus pairs within the batch. The corpus is never re-bucketed; recall
+    characteristics are identical to the one-shot path because the bucket
+    values are deterministic. Output: (id_new, id_other, cos, origin);
+    completeness-vs-one-shot invariant test-pinned."""
+    from .similarity import _dot
+
+    nb = embedding_bucket_index(new_df, planes, tables, dim, seed, id_col, vec_col)
+    a, c = nb.alias("a"), corpus_index.alias("c")
+    vs_corpus = (
+        a.join(c, (F.col("a.tbl") == F.col("c.tbl"))
+               & (F.col("a.bkt") == F.col("c.bkt"))
+               & (F.col("a.id") != F.col("c.id")))
+        .select(F.col("a.id").alias("id_new"), F.col("c.id").alias("id_other"),
+                F.col("a.v").alias("va"), F.col("c.v").alias("vb"),
+                F.col("a.nrm").alias("na"), F.col("c.nrm").alias("nb_"),
+                F.lit("corpus").alias("origin"))
+        .distinct()
+    )
+    x, y = nb.alias("x"), nb.alias("y")
+    within = (
+        x.join(y, (F.col("x.tbl") == F.col("y.tbl"))
+               & (F.col("x.bkt") == F.col("y.bkt"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_new"), F.col("y.id").alias("id_other"),
+                F.col("x.v").alias("va"), F.col("y.v").alias("vb"),
+                F.col("x.nrm").alias("na"), F.col("y.nrm").alias("nb_"),
+                F.lit("batch").alias("origin"))
+        .distinct()
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb_"))
+    return (
+        vs_corpus.unionByName(within)
+        .withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_new", "id_other", "cos", "origin")
+    )

@@ -1761,3 +1761,35 @@ def test_hamming_incremental_matches_full_corpus(spark):
     expected = {(r.id_a, r.id_b, r.hamming) for r in full
                 if r.id_a in new_ids or r.id_b in new_ids}
     assert got == expected and len(expected) > 0
+
+
+def test_embedding_incremental_matches_full_corpus(spark):
+    """Embedding-side incremental near-dup: new batch joined against the
+    stored LSH bucket index (same hyperplane seed => same buckets) union
+    within-batch equals the one-shot LSH result restricted to pairs
+    touching the batch."""
+    import numpy as np
+    from jsonschema_spark.operators import dedup as D
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in v + rng.randn(16) * 1e-3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = df.where(F.col("vec_id") % 2 == 0)
+    new = df.where(F.col("vec_id") % 2 == 1)
+
+    idx = D.embedding_bucket_index(old, planes=8, tables=6, seed=42)
+    inc = D.embedding_incremental_near_duplicates(
+        new, idx, threshold=0.95, planes=8, tables=6, seed=42).collect()
+    got = {(min(r.id_new, r.id_other), max(r.id_new, r.id_other), r.cos)
+           for r in inc}
+
+    full = D.embedding_near_duplicates(df, threshold=0.95, method="lsh",
+                                       planes=8, tables=6, seed=42).collect()
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    expected = {(r.id_a, r.id_b, r.cos) for r in full
+                if r.id_a in new_ids or r.id_b in new_ids}
+    assert got == expected and len(expected) > 0
