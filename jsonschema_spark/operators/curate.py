@@ -89,3 +89,59 @@ def curate(
          for i, (name, s) in enumerate(stages)],
     )
     return cur, funnel
+
+
+def curate_images(
+    fact: DataFrame,
+    spec: dict | object,
+    dims: dict[str, DataFrame] | None = None,
+    max_hamming: int | None = 3,
+    split_weights: dict[str, float] | None = None,
+    key_col: str = "image_id",
+    part_col: str = "part_id",
+    phash_col: str = "phash",
+) -> tuple[DataFrame, DataFrame]:
+    """Image-table curation, validation-gated: the loop between the engine's
+    two halves — Part-A validation decides WHICH rows are healthy, Part-B
+    curation decides WHICH healthy rows ship.
+
+    Stages: input -> valid (drop every row a row-addressable violation
+    names: row checks, uniqueness examples, referential orphans — partition-
+    level drift/anomaly verdicts gate deploys, not rows) -> phash near-dup
+    dedup (pigeonhole Hamming pairs, keep-lowest-key canonical) ->
+    deterministic splits. Returns (curated, funnel) like ``curate``.
+
+    Scale shape: the violation keys are a narrow (pass, key) projection of
+    the violations stream — the anti-join is key-only; phash dedup is the
+    B48 pigeonhole equi-join; splits are scan-side hash intervals.
+    """
+    from ..engine import validate_table
+
+    stages: list[tuple[str, DataFrame]] = [("input", fact)]
+    res = validate_table(fact, spec, dims=dims, key_col=key_col,
+                         part_col=part_col)
+    bad_keys = (res.violations.where(F.col("row_key").isNotNull())
+                .select(F.col("row_key")).distinct())
+    cur = fact.join(
+        bad_keys.withColumnRenamed("row_key", "__bk"),
+        fact[key_col].cast("string") == F.col("__bk"), "left_anti")
+    stages.append(("valid", cur))
+
+    if max_hamming is not None:
+        sig = cur.select(F.col(key_col).alias("id"),
+                         F.col(phash_col).alias("simhash"))
+        pairs = D.hamming_near_duplicates(sig, max_hamming=max_hamming)
+        cur = D.keep_canonical(cur, pairs, id_col=key_col)
+        stages.append(("phash_dedup", cur))
+
+    if split_weights:
+        cur = S.assign_splits(cur, split_weights, key_col=key_col)
+        stages.append(("split", cur))
+
+    funnel = reduce(
+        DataFrame.unionByName,
+        [s.agg(F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"),
+               F.count(F.lit(1)).alias("n_docs"))
+         for i, (name, s) in enumerate(stages)],
+    )
+    return cur, funnel

@@ -1793,3 +1793,32 @@ def test_embedding_incremental_matches_full_corpus(spark):
     expected = {(r.id_a, r.id_b, r.cos) for r in full
                 if r.id_a in new_ids or r.id_b in new_ids}
     assert got == expected and len(expected) > 0
+
+
+def test_curate_images_validation_gated(spark):
+    """Validation output gates curation: rows named by row-addressable
+    violations (row checks, dup examples, orphans) are dropped, then phash
+    near-dups fold to the lowest key, then splits assign."""
+    from jsonschema_spark.operators.curate import curate_images
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        # (image_id, part_id, w, h, fmt, phash)
+        ("img-0", 0, 100, 100, "png", base),
+        ("img-1", 0, 100, 100, "png", base ^ 0b11),     # phash dist 2 of img-0
+        ("img-2", 1, -5, 100, "png", 1 << 20),          # w violates minimum
+        ("img-3", 1, 100, 100, "gif", 2 << 20),         # fmt violates enum
+        ("img-4", 1, 100, 100, "bmp", 0),               # clean, far from all
+        ("img-5", 0, 100, 100, "raw", 0x0F0F0F0F),      # clean, dist 16 from img-4
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, part_id int, w int, h int, fmt string, phash long")
+    spec = {"properties": {"w": {"minimum": 0},
+                           "fmt": {"enum": ["png", "bmp", "raw", "jpeg"]}}}
+    curated, funnel = curate_images(
+        df, spec, max_hamming=3, split_weights={"train": 0.8, "val": 0.2})
+    f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert f == {"input": 6, "valid": 4, "phash_dedup": 3, "split": 3}
+    kept = {r["image_id"] for r in curated.collect()}
+    assert kept == {"img-0", "img-4", "img-5"}   # img-1 folded into img-0
+    assert all(r["split"] in ("train", "val") for r in curated.collect())
