@@ -145,3 +145,52 @@ def drift_state_stream(
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def incremental_dedup_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    append_to_index: bool = True,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Continuous ingestion dedup: every arriving micro-batch is signed and
+    joined against the PERSISTED corpus LSH index (operators/dedup.py B48),
+    its candidate hits appended to ``out_path``, and (by default) its own
+    bucket rows appended to the index — so batch N+1 sees batch N's docs.
+
+    ``foreachBatch`` is the right primitive here (not a stateful streaming
+    agg): MinHash signatures need a groupBy over the batch's shingles, and
+    the index lookup is a batch-side stream-static join against a path that
+    GROWS between triggers — re-read per batch so appends are visible.
+
+    Failure semantics: a replayed micro-batch may append its index rows
+    twice; duplicate index rows are harmless for correctness (candidates
+    are ``distinct``-ed) and bounded by one batch per recovery. Returns the
+    started StreamingQuery."""
+    from ..operators.dedup import (
+        minhash_band_buckets, minhash_incremental_candidates, minhash_signatures,
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        idx = spark.read.parquet(index_path)
+        hits = minhash_incremental_candidates(
+            batch, idx, num_hashes, bands, id_col, text_col, n)
+        hits.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(out_path)
+        if append_to_index:
+            sig = minhash_signatures(batch, num_hashes, id_col, text_col, n)
+            minhash_band_buckets(sig, num_hashes, bands) \
+                .write.mode("append").parquet(index_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -230,3 +230,39 @@ def test_windowed_stats_stream_with_quantiles(spark, tmp_path):
     got = merged.collect()[0]
     # inclusive rank over 0..99: q50 -> 49, q90 -> 89, q99 -> 98
     assert (got["q50"], got["q90"], got["q99"]) == (49.0, 89.0, 98.0)
+
+
+def test_incremental_dedup_stream_sees_earlier_batches(spark, tmp_path):
+    """Ingestion dedup across micro-batches: batch 2's near-dup of a batch-1
+    doc is caught ONLY because batch 1's bucket rows were appended to the
+    persisted index between triggers."""
+    from pyspark.sql import functions as F
+    from jsonschema_spark.operators.dedup import minhash_band_buckets, minhash_signatures
+
+    base = " ".join(f"w{i}" for i in range(40))
+    seed = spark.createDataFrame([(1, base + " seed")], "doc_id long, text string")
+    idx_path = str(tmp_path / "index")
+    # bootstrap: the pre-existing corpus index
+    minhash_band_buckets(minhash_signatures(seed), 64, 16) \
+        .write.parquet(idx_path)
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(2, base + " batch one")], "doc_id long, text string") \
+        .write.parquet(str(src / "f1"))
+    spark.createDataFrame([(3, base + " batch one two")], "doc_id long, text string") \
+        .write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    q = S.incremental_dedup_stream(
+        stream, idx_path, str(tmp_path / "hits"), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    hits = spark.read.parquet(str(tmp_path / "hits"))
+    pairs = {(min(r.id_new, r.id_other), max(r.id_new, r.id_other))
+             for r in hits.collect()}
+    # doc2 vs seed(1); doc3 vs seed(1) AND vs doc2 — the (2,3) pair exists
+    # only because doc2's index rows were appended before doc3's trigger
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert spark.read.parquet(idx_path).select("id").distinct().count() == 3

@@ -244,6 +244,9 @@ def test_loader_is_the_single_fact_scan_choke_point(monkeypatch, spark, tmp_path
         "jsonschema_spark/engine.py",        # fuse_scratch re-read (engine-internal intermediate)
         "jsonschema_spark/job.py",           # dims/baseline/own-sink re-reads only
         "jsonschema_spark/manifest.py",      # manifest sink re-read
+        # engine-owned LSH-index re-read (per-trigger, so appends are
+        # visible) — an internal artifact like the manifest, not a fact scan
+        "jsonschema_spark/streaming/validate.py",
     }
     bad = [o for o in offenders if o[0] not in allowed]
     assert not bad, f"unexpected fact-scan sites: {bad}"
