@@ -2,7 +2,7 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (45 queries, 38 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (65 queries, 58 oracles).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
