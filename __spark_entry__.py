@@ -2023,6 +2023,42 @@ SELECT doc_id + 100000, 'added' FROM documents WHERE doc_id % 41 = 0
 """
 
 
+def q_quantile_verdicts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-bound checks as a first-class verdict type
+    (x-table-checks/quantiles, B42): spec'd p50/p99 bounds on n_chars judged
+    against the MERGED table-wide KLL sketch — one bound passes, one fails,
+    by construction. kll_k above the row count keeps the sketch exact so
+    DuckDB's quantile_disc is the oracle."""
+    from jsonschema_spark.engine import validate_table
+
+    docs = _t(spark, sf, "documents").withColumn("grp", F.col("doc_id") % 4)
+    spec = {"properties": {"n_chars": {"minimum": 0}},
+            "x-table-checks": {"quantiles": [
+                {"column": "n_chars", "q": 0.99, "max": 100000},
+                {"column": "n_chars", "q": 0.5, "min": 100000}]}}
+    res = validate_table(docs, spec, key_col="doc_id", part_col="grp",
+                         kll_k=8192)
+    return res.quantile_verdicts
+
+
+SQL_QUANTILE_VERDICTS_DOCUMENTS = """
+WITH s AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) rn, count(*) OVER () n
+  FROM documents WHERE n_chars IS NOT NULL
+),
+qv AS (
+  SELECT (SELECT CAST(min(n_chars) AS DOUBLE) FROM s WHERE rn >= ceil(0.5*n)) AS q50,
+         (SELECT CAST(min(n_chars) AS DOUBLE) FROM s WHERE rn >= ceil(0.99*n)) AS q99
+)
+SELECT 'n_chars' AS column, CAST(0.99 AS DOUBLE) AS q, q99 AS value,
+       CAST(NULL AS DOUBLE) AS lo, CAST(100000 AS DOUBLE) AS hi,
+       q99 <= 100000 AS passed FROM qv
+UNION ALL
+SELECT 'n_chars', CAST(0.5 AS DOUBLE), q50, CAST(100000 AS DOUBLE), CAST(NULL AS DOUBLE),
+       q50 >= 100000 FROM qv
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_checks_lineitem": q_row_checks_lineitem,
@@ -2088,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packs_documents": q_packs_documents,
         "curate_documents": q_curate_documents,
         "diff_documents": q_diff_documents,
+        "quantile_verdicts_documents": q_quantile_verdicts_documents,
         "fingerprints_documents": q_fingerprints_documents,
         "images_full_suite": q_images_full_suite,
     }
@@ -2152,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "packs_documents": SQL_PACKS_DOCUMENTS,
         "curate_documents": SQL_CURATE_DOCUMENTS,
         "diff_documents": SQL_DIFF_DOCUMENTS,
+        "quantile_verdicts_documents": SQL_QUANTILE_VERDICTS_DOCUMENTS,
         "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
         # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
         # have no DuckDB twin → rows-only checks + pytest goldens. The

@@ -119,6 +119,10 @@ class TableChecks:
     # partition-anomaly pass: {"columns": [str, ...], "z_max"?: float} —
     # robust median/MAD z-score of per-partition mean/null-rate profiles
     anomaly: dict[str, Any] | None = None
+    # quantile-bound checks on merged KLL sketches (B42): each entry
+    # {"column": str, "q": float, "min"?: num, "max"?: num} — verdict is
+    # table-wide (the merged sketch), resume-safe like the HLL rollup
+    quantiles: tuple[dict[str, Any], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -202,7 +206,15 @@ def parse(schema: dict[str, Any] | bool) -> Spec:
         drift=dict(tc["drift"]) if "drift" in tc else None,
         row_predicates=tuple(dict(p) for p in tc.get("row-predicates", [])),
         anomaly=dict(tc["anomaly"]) if "anomaly" in tc else None,
+        quantiles=tuple(dict(q) for q in tc.get("quantiles", [])),
     )
+    for q in table_checks.quantiles:
+        if not isinstance(q.get("column"), str) or not q["column"]:
+            raise SpecError(f"quantile check needs a 'column': {q!r}")
+        if not isinstance(q.get("q"), (int, float)) or not 0 < q["q"] < 1:
+            raise SpecError(f"quantile check needs 0 < q < 1: {q!r}")
+        if "min" not in q and "max" not in q:
+            raise SpecError(f"quantile check needs a 'min' or 'max' bound: {q!r}")
     if table_checks.anomaly is not None and not table_checks.anomaly.get("columns"):
         raise SpecError("x-table-checks/anomaly needs a non-empty 'columns' list")
     for p in table_checks.row_predicates:

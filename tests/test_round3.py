@@ -1825,3 +1825,36 @@ def test_curate_images_validation_gated(spark):
     kept = {r["image_id"] for r in curated.collect()}
     assert kept == {"img-0", "img-4", "img-5"}   # img-1 folded into img-0
     assert all(r["split"] in ("train", "val") for r in curated.collect())
+
+
+def test_quantile_bound_checks_verdicts(spark):
+    """x-table-checks/quantiles: spec'd quantile bounds judged against the
+    merged table-wide KLL sketch; verdicts join the main stream as
+    table-wide rows (part_id null, pass_id 'quantiles'); non-spec'd columns
+    fail fast."""
+    from jsonschema_spark.engine import validate_table
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("img-"), F.col("id")).alias("image_id"),
+        (F.col("id") % 4).alias("part_id"),
+        F.col("id").cast("long").alias("w"))
+    spec = {"properties": {"w": {"minimum": 0}},
+            "x-table-checks": {"quantiles": [
+                {"column": "w", "q": 0.99, "max": 995},
+                {"column": "w", "q": 0.5, "min": 600}]}}
+    res = validate_table(df, spec, kll_k=4096)
+    qv = {(r["q"], r["passed"], r["value"]) for r in res.quantile_verdicts.collect()}
+    assert (0.99, True, 989.0) in qv and (0.5, False, 499.0) in qv
+    v = res.verdicts.where(F.col("pass_id") == "quantiles").collect()
+    assert len(v) == 2 and all(r["part_id"] is None for r in v)
+    assert {r["check_id"] for r in v} == {"quantile@/w@q0.99", "quantile@/w@q0.5"}
+
+    with pytest.raises(ValueError, match="zz"):
+        validate_table(df, {"properties": {"w": {}}, "x-table-checks": {
+            "quantiles": [{"column": "zz", "q": 0.5, "max": 1}]}})
+
+    from jsonschema_spark.spec import parse, SpecError
+    with pytest.raises(SpecError):
+        parse({"x-table-checks": {"quantiles": [{"column": "w", "q": 1.5, "max": 1}]}})
+    with pytest.raises(SpecError):
+        parse({"x-table-checks": {"quantiles": [{"column": "w", "q": 0.5}]}})
