@@ -2059,6 +2059,78 @@ SELECT 'n_chars', CAST(0.5 AS DOUBLE), q50, CAST(100000 AS DOUBLE), CAST(NULL AS
 """
 
 
+def q_distinct_verdicts_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-cardinality bounds as verdicts (x-table-checks/distinct):
+    merged-HLL estimates vs spec'd bounds — lang (5 distinct) passes its
+    window, source (20) fails a min-100 bound. HLL is exact at these
+    cardinalities (DataSketches list mode), so DuckDB count(DISTINCT) is
+    the oracle."""
+    from jsonschema_spark.engine import validate_table
+
+    docs = _t(spark, sf, "documents").withColumn("grp", F.col("doc_id") % 4)
+    spec = {"properties": {"lang": {}, "source": {}},
+            "x-table-checks": {"distinct": [
+                {"column": "lang", "min": 2, "max": 50},
+                {"column": "source", "min": 100}]}}
+    res = validate_table(docs, spec, key_col="doc_id", part_col="grp")
+    return res.verdicts.where(F.col("pass_id") == "distinct") \
+        .select("check_id", "passed")
+
+
+SQL_DISTINCT_VERDICTS_DOCUMENTS = """
+SELECT 'distinct@/lang' AS check_id,
+       (SELECT count(DISTINCT lang) FROM documents) BETWEEN 2 AND 50 AS passed
+UNION ALL
+SELECT 'distinct@/source',
+       (SELECT count(DISTINCT source) FROM documents) >= 100
+"""
+
+
+def q_nullrate_verdicts_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-rate bounds as verdicts (x-table-checks/null-rates): value is
+    deterministically nulled on event_id%10 rows, so its 10%% rate fails a
+    5%% bound per partition and table-wide while event_type's 0%% passes;
+    n_violations carries the null count."""
+    from jsonschema_spark.engine import validate_table
+
+    ev = (_t(spark, sf, "events")
+          .withColumn("grp", F.col("event_id") % 4)
+          .withColumn("v", F.when(F.col("event_id") % 10 == 0, None)
+                      .otherwise(F.col("value"))))
+    spec = {"properties": {"v": {}, "event_type": {}},
+            "x-table-checks": {"null-rates": [
+                {"column": "v", "max_rate": 0.05},
+                {"column": "event_type", "max_rate": 0.0}]}}
+    res = validate_table(ev, spec, key_col="event_id", part_col="grp")
+    return res.verdicts.where(F.col("pass_id") == "null_rate") \
+        .select("part_id", "check_id", "passed", "n_violations")
+
+
+SQL_NULLRATE_VERDICTS_EVENTS = """
+WITH t AS (
+  SELECT CAST(event_id % 4 AS INT) AS part_id,
+         CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS v_null
+  FROM events
+),
+p AS (
+  SELECT part_id, count(*) AS n_rows, sum(v_null) AS v_nulls FROM t GROUP BY 1
+),
+tw AS (
+  SELECT count(*) AS n_rows, sum(v_null) AS v_nulls FROM t
+)
+SELECT part_id, 'null-rate@/v' AS check_id,
+       v_nulls * 1.0 / n_rows <= 0.05 AS passed,
+       CAST(v_nulls AS BIGINT) AS n_violations FROM p
+UNION ALL
+SELECT CAST(NULL AS INT), 'null-rate@/v', v_nulls * 1.0 / n_rows <= 0.05,
+       CAST(v_nulls AS BIGINT) FROM tw
+UNION ALL
+SELECT part_id, 'null-rate@/event_type', TRUE, CAST(0 AS BIGINT) FROM p
+UNION ALL
+SELECT CAST(NULL AS INT), 'null-rate@/event_type', TRUE, CAST(0 AS BIGINT) FROM tw
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_checks_lineitem": q_row_checks_lineitem,
@@ -2125,6 +2197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": q_curate_documents,
         "diff_documents": q_diff_documents,
         "quantile_verdicts_documents": q_quantile_verdicts_documents,
+        "distinct_verdicts_documents": q_distinct_verdicts_documents,
+        "nullrate_verdicts_events": q_nullrate_verdicts_events,
         "fingerprints_documents": q_fingerprints_documents,
         "images_full_suite": q_images_full_suite,
     }
@@ -2190,6 +2264,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_documents": SQL_CURATE_DOCUMENTS,
         "diff_documents": SQL_DIFF_DOCUMENTS,
         "quantile_verdicts_documents": SQL_QUANTILE_VERDICTS_DOCUMENTS,
+        "distinct_verdicts_documents": SQL_DISTINCT_VERDICTS_DOCUMENTS,
+        "nullrate_verdicts_events": SQL_NULLRATE_VERDICTS_EVENTS,
         "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
         # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
         # have no DuckDB twin → rows-only checks + pytest goldens. The

@@ -123,6 +123,14 @@ class TableChecks:
     # {"column": str, "q": float, "min"?: num, "max"?: num} — verdict is
     # table-wide (the merged sketch), resume-safe like the HLL rollup
     quantiles: tuple[dict[str, Any], ...] = ()
+    # distinct-cardinality bounds on the merged HLL sketches (B15): each
+    # entry {"column": str, "min"?: int, "max"?: int} — catches collapsed
+    # or exploded cardinality (e.g. fmt suddenly 1 distinct); table-wide
+    distinct: tuple[dict[str, Any], ...] = ()
+    # null-rate bounds: {"column": str, "max_rate": float} — "required" is
+    # too strict at web scale; this bounds the rate instead. Verdicts per
+    # partition AND table-wide, both free from the stats pass
+    null_rates: tuple[dict[str, Any], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -207,7 +215,19 @@ def parse(schema: dict[str, Any] | bool) -> Spec:
         row_predicates=tuple(dict(p) for p in tc.get("row-predicates", [])),
         anomaly=dict(tc["anomaly"]) if "anomaly" in tc else None,
         quantiles=tuple(dict(q) for q in tc.get("quantiles", [])),
+        distinct=tuple(dict(d) for d in tc.get("distinct", [])),
+        null_rates=tuple(dict(n) for n in tc.get("null-rates", [])),
     )
+    for d in table_checks.distinct:
+        if not isinstance(d.get("column"), str) or not d["column"]:
+            raise SpecError(f"distinct check needs a 'column': {d!r}")
+        if "min" not in d and "max" not in d:
+            raise SpecError(f"distinct check needs a 'min' or 'max' bound: {d!r}")
+    for nr in table_checks.null_rates:
+        if not isinstance(nr.get("column"), str) or not nr["column"]:
+            raise SpecError(f"null-rate check needs a 'column': {nr!r}")
+        if not isinstance(nr.get("max_rate"), (int, float)) or not 0 <= nr["max_rate"] <= 1:
+            raise SpecError(f"null-rate check needs 0 <= max_rate <= 1: {nr!r}")
     for q in table_checks.quantiles:
         if not isinstance(q.get("column"), str) or not q["column"]:
             raise SpecError(f"quantile check needs a 'column': {q!r}")

@@ -1858,3 +1858,41 @@ def test_quantile_bound_checks_verdicts(spark):
         parse({"x-table-checks": {"quantiles": [{"column": "w", "q": 1.5, "max": 1}]}})
     with pytest.raises(SpecError):
         parse({"x-table-checks": {"quantiles": [{"column": "w", "q": 0.5}]}})
+
+
+def test_distinct_and_nullrate_checks_verdicts(spark):
+    """x-table-checks/distinct (merged HLL) and /null-rates (per-partition +
+    table-wide off the stats rows, n_violations = null count)."""
+    from jsonschema_spark.engine import validate_table
+    from jsonschema_spark.spec import parse, SpecError
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("img-"), F.col("id")).alias("image_id"),
+        (F.col("id") % 4).alias("part_id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 7).alias("v"),
+        (F.col("id") % 3).cast("string").alias("fmt"))
+    spec = {"properties": {"v": {}, "fmt": {}},
+            "x-table-checks": {
+                "distinct": [{"column": "fmt", "min": 2, "max": 10},
+                             {"column": "v", "min": 100}],
+                "null-rates": [{"column": "v", "max_rate": 0.05},
+                               {"column": "fmt", "max_rate": 0.0}]}}
+    res = validate_table(df, spec)
+    d = {(r["pass_id"], r["check_id"], r["part_id"]): (r["passed"], r["n_violations"])
+         for r in res.verdicts.where(
+             F.col("pass_id").isin("distinct", "null_rate")).collect()}
+    assert d[("distinct", "distinct@/fmt", None)][0] is True
+    assert d[("distinct", "distinct@/v", None)][0] is False   # 7 < 100
+    assert d[("null_rate", "null-rate@/v", None)] == (False, 100)
+    assert d[("null_rate", "null-rate@/fmt", None)] == (True, 0)
+    # nulls land only in even partitions (id%10==0 => id even)
+    assert d[("null_rate", "null-rate@/v", 0)] == (False, 50)
+    assert d[("null_rate", "null-rate@/v", 1)] == (True, 0)
+
+    with pytest.raises(ValueError, match="zz"):
+        validate_table(df, {"properties": {"v": {}}, "x-table-checks": {
+            "distinct": [{"column": "zz", "min": 1}]}})
+    with pytest.raises(SpecError):
+        parse({"x-table-checks": {"distinct": [{"column": "v"}]}})
+    with pytest.raises(SpecError):
+        parse({"x-table-checks": {"null-rates": [{"column": "v", "max_rate": 2}]}})
