@@ -295,6 +295,11 @@ SPEC_IMAGES = {
         # null-rate) is a robust median/MAD outlier vs the partition
         # population — one extra aggregation over the fused cache
         "anomaly": {"columns": ["w", "h", "phash"], "z_max": 3.5},
+        # round-3 stats-check family: quantile / cardinality / null-rate
+        # bounds judged off the SAME fused stats scan (no extra pass)
+        "quantiles": [{"column": "w", "q": 0.99, "max": 16384}],
+        "distinct": [{"column": "fmt", "min": 2, "max": 10}],
+        "null-rates": [{"column": "caption", "max_rate": 0.05}],
     },
 }
 

@@ -1896,3 +1896,22 @@ def test_distinct_and_nullrate_checks_verdicts(spark):
         parse({"x-table-checks": {"distinct": [{"column": "v"}]}})
     with pytest.raises(SpecError):
         parse({"x-table-checks": {"null-rates": [{"column": "v", "max_rate": 2}]}})
+
+
+def test_flagship_spec_emits_stats_check_family(spark):
+    """The flagship image spec now carries quantile/distinct/null-rate
+    checks — all three verdict families appear (and pass on clean fixture
+    data), so the north-metric suite exercises them."""
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.engine import validate_table
+
+    cfg = FX.FixtureConfig(n=2000, n_parts=4, with_bytes=False, plants=False,
+                           drift_part=-1)
+    fact = FX.generate_images_df(spark, cfg)
+    dims = {"dim_fmt": FX.dim_fmt_df(spark),
+            "dim_license": FX.dim_license_df(spark, cfg)}
+    res = validate_table(fact, FX.SPEC_IMAGES, dims=dims)
+    fams = {r["pass_id"]: r["passed"] for r in res.verdicts.where(
+        F.col("pass_id").isin("quantiles", "distinct", "null_rate")).collect()}
+    assert set(fams) == {"quantiles", "distinct", "null_rate"}
+    assert all(fams.values())

@@ -132,8 +132,9 @@ def test_verdict_matrix_consistency(result, spark_violations):
     for r in result.violations.collect():
         by_part[(r.part_id, r.keyword, r.path)] += 1
     for v in result.verdicts.collect():
-        if v.keyword in ("drift", "anomaly"):
-            # partition-level checks: verdicts exist, row violations don't
+        if v.keyword in ("drift", "anomaly", "quantile", "distinct", "null-rate"):
+            # partition/table-level checks: verdicts exist, row violations
+            # don't (null-rate's n_violations is the null COUNT, not rows)
             continue
         n = by_part.get((v.part_id, v.keyword, v.path), 0)
         assert v.n_violations == n, (v.check_id, v.part_id, v.n_violations, n)
