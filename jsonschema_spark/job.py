@@ -283,6 +283,16 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
             for r in merge_quantiles(spark.read.parquet(args.out + "/stats")).collect()
         }
 
+    # the one-line answer to "did the table pass": failed-check counts per
+    # pass from the (tiny) verdicts sink — covers every check family incl.
+    # the table-wide quantile/distinct/null-rate rows
+    failed_checks = {
+        r.pass_id: r.n
+        for r in spark.read.parquet(args.out + "/verdicts")
+        .where(~F.col("passed"))
+        .groupBy("pass_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
     # lineage rows: per-partition row + violation counts from the written
     # outputs. Row counts come from the stats sink (every column row of a
     # partition carries the same n_rows) — re-scanning the fact table for
@@ -340,6 +350,8 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         "images_per_sec": round(n_rows / elapsed, 1) if elapsed > 0 else 0.0,
         "global_distinct": global_distinct,
         **({"global_quantiles": global_quantiles} if args.quantile_sketches else {}),
+        "n_failed_checks": failed_checks,
+        "table_passed": not failed_checks,
     }
     man.write_summary(summary)
     print(json.dumps(summary))

@@ -1915,3 +1915,27 @@ def test_flagship_spec_emits_stats_check_family(spark):
         F.col("pass_id").isin("quantiles", "distinct", "null_rate")).collect()}
     assert set(fams) == {"quantiles", "distinct", "null_rate"}
     assert all(fams.values())
+
+
+def test_job_summary_reports_failed_checks(spark, tmp_path):
+    """Summary carries n_failed_checks per pass and a table_passed flag —
+    the one-line deploy gate."""
+    import json as _json
+    from jsonschema_spark.job import run
+
+    df = spark.range(200).select(
+        F.concat(F.lit("img-"), F.col("id")).alias("image_id"),
+        (F.col("id") % 4).alias("part_id"),
+        F.when(F.col("id") % 5 == 0, -1).otherwise(F.col("id") % 50)
+         .cast("int").alias("w"))
+    df.write.parquet(str(tmp_path / "t"))
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        _json.dump({"properties": {"w": {"minimum": 0}},
+                    "x-table-checks": {"null-rates": [{"column": "w", "max_rate": 0.5}]}}, f)
+    s = run(["--table", str(tmp_path / "t"), "--spec", spec_path,
+             "--manifest", str(tmp_path / "man"), "--out", str(tmp_path / "out")],
+            spark=spark)
+    assert s["n_failed_checks"].get("rows", 0) > 0     # minimum violations
+    assert s["table_passed"] is False
+    assert "null_rate" not in s["n_failed_checks"]     # that check passes
