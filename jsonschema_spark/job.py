@@ -141,6 +141,10 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
                          "ALL partitions — resume-safe like global_distinct)."
                          " Keep the flag consistent across resumes of one "
                          "sink (it changes the stats schema)")
+    ap.add_argument("--strict", action="store_true",
+                    help="exit non-zero (3) when any check failed "
+                         "(table_passed false) — CI gate; handled at the "
+                         "__main__ level so library callers are unaffected")
     ap.add_argument("--kll-k", type=int, default=200,
                     help="KLL sketch size parameter (exact below k per "
                          "sketch; ~1.65%% rank error at the default 200)")
@@ -286,12 +290,20 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
     # the one-line answer to "did the table pass": failed-check counts per
     # pass from the (tiny) verdicts sink — covers every check family incl.
     # the table-wide quantile/distinct/null-rate rows
-    failed_checks = {
-        r.pass_id: r.n
-        for r in spark.read.parquet(args.out + "/verdicts")
-        .where(~F.col("passed"))
-        .groupBy("pass_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    from pyspark.errors import AnalysisException as _AE
+
+    try:
+        failed_checks = {
+            r.pass_id: r.n
+            for r in spark.read.parquet(args.out + "/verdicts")
+            .where(~F.col("passed"))
+            .groupBy("pass_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    except _AE:
+        # a spec with zero checks writes no verdict rows — the sink then has
+        # no data files and schema inference raises; that is a (degenerate)
+        # clean table. Any other failure propagates via the sinks above.
+        failed_checks = {}
 
     # lineage rows: per-partition row + violation counts from the written
     # outputs. Row counts come from the stats sink (every column row of a
@@ -362,4 +374,8 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
 
 
 if __name__ == "__main__":
-    run(sys.argv[1:])
+    _summary = run(sys.argv[1:])
+    # --strict: CI-friendly exit code — non-zero when any check failed.
+    # Applied only on the CLI path; library callers read the summary dict.
+    if "--strict" in sys.argv[1:] and _summary.get("table_passed") is False:
+        sys.exit(3)
