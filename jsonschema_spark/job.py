@@ -141,6 +141,9 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
                          "ALL partitions — resume-safe like global_distinct)."
                          " Keep the flag consistent across resumes of one "
                          "sink (it changes the stats schema)")
+    ap.add_argument("--force-lint", action="store_true",
+                    help="run even when spec lint reports error-severity "
+                         "findings (unsatisfiable nodes)")
     ap.add_argument("--strict", action="store_true",
                     help="exit non-zero (3) when any check failed "
                          "(table_passed false) — CI gate; handled at the "
@@ -155,7 +158,21 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         spark = get_session("jsonschema-spark-job", parallelism=args.parallelism)
 
     with open(args.spec) as f:
-        spec = parse(json.load(f))
+        raw_spec = json.load(f)
+    # pre-flight lint BEFORE any cluster work: an error-severity finding
+    # means a node no value can satisfy — every row would violate, which is
+    # a typo'd spec burning a 100 TB scan, not a validation result
+    from .lint import lint_spec
+
+    findings = lint_spec(raw_spec)
+    for sev, fpath, msg in findings:
+        print(f"spec-lint {sev}: {fpath}: {msg}", file=sys.stderr)
+    errors = [f for f in findings if f[0] == "error"]
+    if errors and not args.force_lint:
+        raise SystemExit(
+            f"spec fails lint with {len(errors)} error(s) — fix the spec or "
+            "pass --force-lint to run anyway")
+    spec = parse(raw_spec)
 
     # The ONE fact-table read in the operational path — io/tables.py is the
     # format swap point (parquet here, `--table-format iceberg` or

@@ -1939,3 +1939,59 @@ def test_job_summary_reports_failed_checks(spark, tmp_path):
     assert s["n_failed_checks"].get("rows", 0) > 0     # minimum violations
     assert s["table_passed"] is False
     assert "null_rate" not in s["n_failed_checks"]     # that check passes
+
+
+# ------------------------------------------------------ spec linter (lint.py)
+
+def test_lint_spec_errors_and_warnings():
+    from jsonschema_spark.lint import lint_spec
+
+    findings = lint_spec({
+        "properties": {
+            "a": {"minimum": 10, "maximum": 5},          # error
+            "b": {"enum": []},                           # error
+            "c": {"then": {"minimum": 1}},               # warning (no if)
+            "d": {"format": "made-up"},                  # warning
+            "e": {"pattern": "(unclosed"},               # error
+            "f": {"minContains": 2},                     # warning (no contains)
+            "g": {"additionalProperties": False,
+                  "unevaluatedProperties": False},       # warning (dead code)
+        },
+        "required": ["a", "zz"],                         # zz -> warning
+    })
+    by = {(sev, path): msg for sev, path, msg in findings}
+    assert ("error", "/properties/a") in by
+    assert ("error", "/properties/b") in by
+    assert ("error", "/properties/e") in by
+    assert ("warning", "/properties/c") in by
+    assert ("warning", "/properties/d") in by
+    assert ("warning", "/properties/f") in by
+    assert ("warning", "/properties/g") in by
+    assert any(p == "/" and "zz" in m for s, p, m in findings)
+    # names declared only in applicator branches are NOT flagged
+    clean = lint_spec({"required": ["x"],
+                       "properties": {"y": {}},
+                       "anyOf": [{"properties": {"x": {}}}]})
+    assert not any("x" in m for _, _, m in clean)
+    # clean spec has no findings
+    assert lint_spec({"properties": {"n": {"minimum": 0, "maximum": 9}}}) == []
+
+
+def test_job_preflight_lint_blocks_unsatisfiable_spec(spark, tmp_path):
+    import json as _json
+    from jsonschema_spark.job import run
+
+    spark.createDataFrame([("img-1", 0, 5)], "image_id string, part_id int, w int") \
+        .write.parquet(str(tmp_path / "t"))
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        _json.dump({"properties": {"w": {"minimum": 10, "maximum": 5}}}, f)
+    with pytest.raises(SystemExit, match="lint"):
+        run(["--table", str(tmp_path / "t"), "--spec", bad,
+             "--manifest", str(tmp_path / "m"), "--out", str(tmp_path / "o")],
+            spark=spark)
+    # --force-lint overrides; every row then (correctly) violates
+    s = run(["--table", str(tmp_path / "t"), "--spec", bad,
+             "--manifest", str(tmp_path / "m2"), "--out", str(tmp_path / "o2"),
+             "--force-lint"], spark=spark)
+    assert s["n_violations"] > 0
