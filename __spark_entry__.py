@@ -2,13 +2,16 @@
 
 Each ``queries()[name]`` is an engine operator from SURVEY.md §2 run against
 the driver's TPC-H-ish parquet tables; ``oracle_sql()[name]`` is the exact
-ANSI-SQL twin DuckDB executes on the same tables (65 queries, 58 oracles).
+ANSI-SQL twin DuckDB executes on the same tables (50 queries, 49 oracles —
+the driver records at most 50 gate rows, so related operators are verified
+through merged union queries; see the consolidation note before queries()).
 Column names/types are aligned on both sides (the driver hash-compares
 sorted columns).
 
-Non-SQL-expressible ops (xxhash64-based MinHash/SimHash signatures, HLL
-sketch binaries, the image fixture suite) have queries() entries without
-oracles → rows-only checks, plus engine-side pytest goldens (tests/).
+The one non-SQL-expressible entry (images_full_suite: binary payloads,
+six-pass suite) is a rows-only check backed by golden pytests; the xxhash64
+production hash paths are proven by md5-twin and recall-gate oracles that
+run the identical Spark plans with SQL-expressible hashes.
 """
 
 from __future__ import annotations
@@ -781,7 +784,7 @@ def q_json_validate_events(spark: SparkSession, sf: str) -> DataFrame:
     return validate_json_rows(_t(spark, sf, "events"), "props", spec, keys=["event_id"])
 
 
-SQL_JSON_VALIDATE_EVENTS = """
+SQL_JSON_VALIDATE_EVENTS = r"""
 WITH k AS (
   SELECT event_id, props,
          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
@@ -2131,63 +2134,583 @@ SELECT CAST(NULL AS INT), 'null-rate@/event_type', TRUE, CAST(0 AS BIGINT) FROM 
 """
 
 
+# ===========================================================================
+# Round-4 registry consolidation (VERDICT r3 #1): the driver's oracle gate
+# records at most 50 queries, so related operators are verified through
+# MERGED queries — each merged query UNIONS the exact per-operator results
+# (both the Spark plan and the DuckDB SQL side), so per-operator evidence is
+# preserved; the former r03 query names live on as the `src`/`method`/`kind`
+# discriminator values. Dominated rows-only twins (xxhash64 simhash/minhash
+# variants, lsh/ivf topk) are dropped per VERDICT r3: their green md5/recall
+# twins carry the proof end-to-end.
+
+
+def q_referential_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """B9+B10 merged (r03: referential_customer_nation + referential_
+    lineitem_orders): the broadcast anti-join orphans AND the shuffle-hash
+    anti-join orphans in one union — both join strategies still execute."""
+    a = q_referential_customer_nation(spark, sf).select(
+        F.lit("cust_nation").alias("src"),
+        F.col("c_custkey").cast("long").alias("fk"),
+        F.col("c_nationkey").cast("long").alias("val"),
+    )
+    b = q_referential_lineitem_orders(spark, sf).select(
+        F.lit("line_orders").alias("src"),
+        F.col("l_orderkey").cast("long").alias("fk"),
+        F.col("n_orphan_lines").cast("long").alias("val"),
+    )
+    return a.unionByName(b)
+
+
+SQL_REFERENTIAL_VIOLATIONS = """
+SELECT 'cust_nation' AS src, CAST(c.c_custkey AS BIGINT) AS fk,
+       CAST(c.c_nationkey AS BIGINT) AS val
+FROM customer c LEFT JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 20) n
+  ON c.c_nationkey = n.n_nationkey
+WHERE n.n_nationkey IS NULL AND c.c_nationkey IS NOT NULL
+UNION ALL
+SELECT 'line_orders', CAST(l.l_orderkey AS BIGINT), CAST(count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 7) o
+  ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
+GROUP BY 2
+"""
+
+
+def q_drift_psi_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """B19+B20 merged (r03: psi_ks_events + ks_documents): PSI and KS over
+    the events histogram grid AND the documents grid, one union with a
+    source-table discriminator."""
+    ev = _t(spark, sf, "events")
+    obs_e = observed_histograms(ev, _EVENTS_DC, part_col="event_type")
+    m_e = drift_metrics(obs_e, baseline_from_observed(obs_e))
+    docs = _t(spark, sf, "documents")
+    obs_d = observed_histograms(docs, _DOCS_DC, part_col="lang")
+    m_d = drift_metrics(obs_d, baseline_from_observed(obs_d))
+    return m_e.select(
+        F.lit("events").alias("src"), F.col("part_id").alias("grp"),
+        F.round("psi", 6).alias("psi"), F.round("ks_d", 6).alias("ks_d"), F.col("n"),
+    ).unionByName(m_d.select(
+        F.lit("documents").alias("src"), F.col("part_id").alias("grp"),
+        F.round("psi", 6).alias("psi"), F.round("ks_d", 6).alias("ks_d"), F.col("n"),
+    ))
+
+
+SQL_DRIFT_PSI_KS = f"""
+SELECT 'events' AS src, event_type AS grp, psi, ks_d, n FROM (
+{SQL_PSI_KS_EVENTS}
+)
+UNION ALL
+SELECT 'documents', lang, psi, ks_d, n FROM (
+WITH obs AS (
+  SELECT lang, {_WB_DOCS} AS bucket, count(*) AS n FROM documents GROUP BY 1, 2
+),
+base AS (
+  SELECT {_WB_DOCS} AS bucket, count(*) / (SELECT count(*) FROM documents) AS p_expected
+  FROM documents GROUP BY 1
+),
+grid AS (
+  SELECT p.lang, b.bucket FROM (SELECT DISTINCT lang FROM obs) p
+  CROSS JOIN (SELECT bucket FROM obs UNION SELECT bucket FROM base) b
+),
+j AS (
+  SELECT g.lang, g.bucket, COALESCE(o.n,0) AS n, COALESCE(base.p_expected,0.0) AS p_expected
+  FROM grid g LEFT JOIN obs o ON g.lang=o.lang AND g.bucket=o.bucket
+  LEFT JOIN base ON g.bucket=base.bucket
+),
+t AS (
+  SELECT *, SUM(n) OVER (PARTITION BY lang) AS n_tot,
+    n*1.0/GREATEST(SUM(n) OVER (PARTITION BY lang),1) AS p_obs,
+    p_expected/GREATEST(SUM(p_expected) OVER (PARTITION BY lang),1e-6) AS p_exp_n
+  FROM j
+),
+c AS (
+  SELECT *, SUM(p_obs) OVER (PARTITION BY lang
+      ORDER BY COALESCE(TRY_CAST(bucket AS DOUBLE),1e308), bucket ROWS UNBOUNDED PRECEDING) AS cdf_obs,
+    SUM(p_exp_n) OVER (PARTITION BY lang
+      ORDER BY COALESCE(TRY_CAST(bucket AS DOUBLE),1e308), bucket ROWS UNBOUNDED PRECEDING) AS cdf_exp
+  FROM t
+)
+SELECT lang,
+  ROUND(SUM((GREATEST(p_obs,1e-6) - GREATEST(p_expected,1e-6))
+            * LN(GREATEST(p_obs,1e-6) / GREATEST(p_expected,1e-6))), 6) AS psi,
+  ROUND(MAX(ABS(cdf_obs - cdf_exp)), 6) AS ks_d,
+  CAST(MAX(n_tot) AS BIGINT) AS n
+FROM c GROUP BY 1
+)
+"""
+
+
+def q_stats_check_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """B42 stats-check family merged (r03: quantile_verdicts_documents +
+    distinct_verdicts_documents + nullrate_verdicts_events): ONE
+    validate_table call declaring all three x-table-checks families on
+    documents (v = n_chars with doc_id%10 planted nulls); the verdict
+    stream rows for pass_ids quantiles/distinct/null_rate are the result.
+    This also exercises the combined-families path the split queries never
+    did."""
+    docs = (
+        _t(spark, sf, "documents")
+        .withColumn("grp", (F.col("doc_id") % 4).cast("int"))
+        .withColumn("v", F.when(F.col("doc_id") % 10 == 0, None)
+                    .otherwise(F.col("n_chars")))
+    )
+    spec = {
+        "properties": {"n_chars": {"minimum": 0}, "lang": {}, "source": {}, "v": {}},
+        "x-table-checks": {
+            "quantiles": [
+                {"column": "n_chars", "q": 0.99, "max": 100000},
+                {"column": "n_chars", "q": 0.5, "min": 100000},
+            ],
+            "distinct": [
+                {"column": "lang", "min": 2, "max": 50},
+                {"column": "source", "min": 100},
+            ],
+            "null-rates": [
+                {"column": "v", "max_rate": 0.05},
+                {"column": "lang", "max_rate": 0.0},
+            ],
+        },
+    }
+    res = validate_table(docs, spec, key_col="doc_id", part_col="grp", kll_k=8192)
+    return res.verdicts.where(
+        F.col("pass_id").isin("quantiles", "distinct", "null_rate")
+    ).select("part_id", "check_id", "passed", "n_violations")
+
+
+SQL_STATS_CHECK_VERDICTS = """
+WITH t AS (
+  SELECT CAST(doc_id % 4 AS INT) AS part_id, n_chars,
+         CASE WHEN doc_id % 10 = 0 THEN NULL ELSE n_chars END AS v, lang
+  FROM documents
+),
+s AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) rn, count(*) OVER () n
+  FROM t WHERE n_chars IS NOT NULL
+),
+qv AS (
+  SELECT (SELECT CAST(min(n_chars) AS DOUBLE) FROM s WHERE rn >= ceil(0.5*n)) AS q50,
+         (SELECT CAST(min(n_chars) AS DOUBLE) FROM s WHERE rn >= ceil(0.99*n)) AS q99
+),
+p AS (
+  SELECT part_id, count(*) AS n_rows,
+         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS v_nulls,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS l_nulls
+  FROM t GROUP BY 1
+),
+tw AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS v_nulls,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS l_nulls
+  FROM t
+)
+SELECT CAST(NULL AS INT) AS part_id, 'quantile@/n_chars@q0.99' AS check_id,
+       q99 <= 100000 AS passed,
+       CAST(CASE WHEN q99 <= 100000 THEN 0 ELSE 1 END AS BIGINT) AS n_violations FROM qv
+UNION ALL
+SELECT CAST(NULL AS INT), 'quantile@/n_chars@q0.5', q50 >= 100000,
+       CAST(CASE WHEN q50 >= 100000 THEN 0 ELSE 1 END AS BIGINT) FROM qv
+UNION ALL
+SELECT CAST(NULL AS INT), 'distinct@/lang',
+       (SELECT count(DISTINCT lang) FROM documents) BETWEEN 2 AND 50,
+       CAST(CASE WHEN (SELECT count(DISTINCT lang) FROM documents) BETWEEN 2 AND 50
+                 THEN 0 ELSE 1 END AS BIGINT)
+UNION ALL
+SELECT CAST(NULL AS INT), 'distinct@/source',
+       (SELECT count(DISTINCT source) FROM documents) >= 100,
+       CAST(CASE WHEN (SELECT count(DISTINCT source) FROM documents) >= 100
+                 THEN 0 ELSE 1 END AS BIGINT)
+UNION ALL
+SELECT part_id, 'null-rate@/v', v_nulls * 1.0 / n_rows <= 0.05,
+       CAST(v_nulls AS BIGINT) FROM p
+UNION ALL
+SELECT CAST(NULL AS INT), 'null-rate@/v', v_nulls * 1.0 / n_rows <= 0.05,
+       CAST(v_nulls AS BIGINT) FROM tw
+UNION ALL
+SELECT part_id, 'null-rate@/lang', l_nulls * 1.0 / n_rows <= 0.0,
+       CAST(l_nulls AS BIGINT) FROM p
+UNION ALL
+SELECT CAST(NULL AS INT), 'null-rate@/lang', l_nulls * 1.0 / n_rows <= 0.0,
+       CAST(l_nulls AS BIGINT) FROM tw
+"""
+
+
+def q_text_metrics_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-analysis basics merged per doc (r03: langid_documents +
+    quality_documents + token_counts_documents + fingerprints_documents):
+    language-ID, quality signals, token counts and the normalized-content
+    fingerprint in one row per document."""
+    docs = _t(spark, sf, "documents")
+    lid = T.language_id(docs)
+    qs = T.quality_scores(docs)
+    tc = T.token_counts(docs)
+    fp = T.fingerprints(docs)
+    return lid.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
+
+
+SQL_TEXT_METRICS_DOCUMENTS = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS wl,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct
+  FROM documents
+),
+s AS (
+  SELECT *,
+    {_LANG_SCORE['de']} AS s_de, {_LANG_SCORE['en']} AS s_en, {_LANG_SCORE['es']} AS s_es,
+    {_LANG_SCORE['fr']} AS s_fr, {_LANG_SCORE['zh']} AS s_zh,
+    len(list_intersect(wl, {_EN})) AS stop
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'unknown'
+       WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+       WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+       WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+       WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+       ELSE 'zh' END AS predicted_lang,
+  GREATEST(s_de,s_en,s_es,s_fr,s_zh) AS markers_hit,
+  len(wl) AS n_tokens, n_chars,
+  ROUND(n_chars * 1.0 / GREATEST(len(wl), 1), 4) AS avg_token_len,
+  ROUND(punct * 1.0 / GREATEST(n_chars, 1), 6) AS punct_ratio,
+  ROUND(stop * 1.0 / GREATEST(len(wl), 1), 6) AS stopword_ratio,
+  (len(wl) >= 5 AND n_chars >= 20 AND punct * 1.0 / GREATEST(n_chars, 1) < 0.3)
+    AS passes_quality,
+  len(wl) AS ws_tokens,
+  len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS re_tokens,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                          '\\s+', ' ', 'g'))) AS fingerprint
+FROM s
+"""
+
+
+def q_repetition_full_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """B40 merged (r03: repetition_documents + top2gram_documents):
+    duplicate-line/word fractions joined with the top word-2-gram character
+    fraction per doc."""
+    docs = _t(spark, sf, "documents")
+    rep = T.repetition_metrics(docs, line_sep=" table ")
+    top = T.top_ngram_fraction(docs, n=2)
+    return rep.join(top, "doc_id")
+
+
+SQL_REPETITION_FULL_DOCUMENTS = """
+WITH s AS (
+  SELECT doc_id,
+         string_split(text, ' table ') AS lines,
+         regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+rep AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         ROUND(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6) AS dup_line_frac,
+         len(ws) AS n_words,
+         ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6) AS dup_word_frac
+  FROM s
+),
+w AS (
+  SELECT doc_id, len(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS wl
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, n_chars, wl[i] || ' ' || wl[i+1] AS gram
+  FROM w, UNNEST(range(1, len(wl))) AS t(i)
+),
+c AS (
+  SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c
+),
+top AS (
+  SELECT doc_id, gram AS top_gram, cnt AS top_gram_count,
+         ROUND(cnt * len(gram) * 1.0 / n_chars, 6) AS top_gram_char_frac
+  FROM r WHERE rn = 1
+)
+SELECT rep.*, top.top_gram, top.top_gram_count, top.top_gram_char_frac
+FROM rep JOIN top USING (doc_id)
+"""
+
+
+def q_sampling_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """B38 merged (r03: hash_sample_documents + stratified_sample_documents
+    + splits_documents): all three deterministic content-hash sampling
+    surfaces in one union, discriminated by `method`."""
+    docs = _t(spark, sf, "documents")
+    null_split = F.lit(None).cast("string").alias("split")
+    h = sampling.hash_sample(docs, 0.25).select(
+        F.lit("hash").alias("method"), "doc_id", "lang", null_split)
+    st = sampling.stratified_hash_sample(
+        docs, {"en": 0.5, "de": 1.0, "fr": 0.25}, strata_col="lang"
+    ).select(F.lit("stratified").alias("method"), "doc_id", "lang", null_split)
+    sp = sampling.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select(F.lit("splits").alias("method"), "doc_id", "lang", "split")
+    return h.unionByName(st).unionByName(sp)
+
+
+SQL_SAMPLING_DOCUMENTS = """
+SELECT 'hash' AS method, doc_id, lang, CAST(NULL AS VARCHAR) AS split
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12) < '400000000000'
+UNION ALL
+SELECT 'stratified', doc_id, lang, CAST(NULL AS VARCHAR)
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12) <
+  CASE lang WHEN 'de' THEN 'g'
+            WHEN 'en' THEN '800000000000'
+            WHEN 'fr' THEN '400000000000'
+            ELSE '000000000000' END
+UNION ALL
+SELECT 'splits', doc_id, lang,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12) < '19999999999a' THEN 'test'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12) < 'e66666666666' THEN 'train'
+       ELSE 'val' END
+FROM documents
+"""
+
+
+def q_ann_recall_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN recall gates merged (r03: lsh_recall_embeddings +
+    ivf_recall_embeddings): both approximate paths' top-1 vs the exact
+    top-1 over the planted near-dup queries, one union."""
+    lsh = q_lsh_recall_embeddings(spark, sf).select(
+        F.lit("lsh").alias("method"), "query_id",
+        F.col("lsh_neighbor").alias("neighbor_id"), "recall_at_1")
+    ivf = q_ivf_recall_embeddings(spark, sf).select(
+        F.lit("ivf").alias("method"), "query_id",
+        F.col("ivf_neighbor").alias("neighbor_id"), "recall_at_1")
+    return lsh.unionByName(ivf)
+
+
+SQL_ANN_RECALL_EMBEDDINGS = f"""
+SELECT 'lsh' AS method, * FROM ({SQL_EXACT_TOP1_PLANTED.format(alias="neighbor_id")})
+UNION ALL
+SELECT 'ivf', * FROM ({SQL_EXACT_TOP1_PLANTED.format(alias="neighbor_id")})
+"""
+
+
+def q_simhash_md5_full_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash md5 proofs merged (r03: simhash_md5_documents +
+    simhash_near_dups_md5_documents): the signature table (kind='sig') and
+    the pigeonhole near-dup pairs over docs ∪ planted copies (kind='pair')
+    in one union — DuckDB recomputes signatures bit-for-bit AND brute-
+    forces all pairs at Hamming <= 3."""
+    md5h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    sig = dedup.simhash_signatures(_t(spark, sf, "documents"), bits=60, hash_fn=md5h)
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = (
+        docs.orderBy("doc_id").limit(50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = dedup.simhash_near_duplicates(
+        docs.unionByName(copies), max_hamming=3, bits=60, hash_fn=md5h)
+    return sig.select(
+        F.lit("sig").alias("kind"), F.col("id").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"), F.col("simhash").cast("long").alias("value"),
+    ).unionByName(pairs.select(
+        F.lit("pair").alias("kind"), F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"), F.col("hamming").cast("long").alias("value"),
+    ))
+
+
+SQL_SIMHASH_MD5_FULL_DOCUMENTS = f"""
+SELECT 'sig' AS kind, CAST(id AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       CAST(simhash AS BIGINT) AS value
+FROM ({SQL_SIMHASH_MD5_DOCUMENTS})
+UNION ALL
+SELECT 'pair', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT), CAST(hamming AS BIGINT)
+FROM ({SQL_SIMHASH_NEAR_DUPS_MD5_DOCUMENTS})
+"""
+
+
+def q_json_payloads_events(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON payload surfaces merged (r03: json_events + json_validate_
+    events): scalar extraction (get_json_object) and spec-driven x-json
+    validation of the same payload column, one union."""
+    ex = q_json_events(spark, sf).select(
+        F.lit("extract").alias("kind"), "event_id",
+        F.lit("$.k").alias("keyword"), F.lit("").alias("path"),
+        F.col("k").cast("string").alias("value"))
+    va = q_json_validate_events(spark, sf).select(
+        F.lit("validate").alias("kind"), "event_id", "keyword", "path",
+        F.col("value").cast("string").alias("value"))
+    return ex.unionByName(va)
+
+
+SQL_JSON_PAYLOADS_EVENTS = f"""
+SELECT 'extract' AS kind, event_id, '$.k' AS keyword, '' AS path,
+       CAST(kv AS VARCHAR) AS value
+FROM (SELECT event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      FROM events)
+WHERE kv < 30
+UNION ALL
+SELECT 'validate', event_id, keyword, path, value FROM ({SQL_JSON_VALIDATE_EVENTS})
+"""
+
+
+def q_pii_findings_documents_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """B39 findings + counts (r03: pii_findings_documents subsumes
+    pii_counts_documents): exploded (doc_id, kind, match) rows plus the
+    per-(doc, kind) count as a window column — the counts surface is the
+    aggregation of this one."""
+    from pyspark.sql import Window
+
+    docs = _plant_pii(_t(spark, sf, "documents").select("doc_id", "text"))
+    f = pii.pii_findings(docs)
+    return f.withColumn(
+        "n_kind",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "kind")).cast("long"))
+
+
+SQL_PII_FINDINGS_V2 = f"""
+SELECT *, CAST(count(*) OVER (PARTITION BY doc_id, kind) AS BIGINT) AS n_kind
+FROM ({SQL_PII_FINDINGS_DOCUMENTS})
+"""
+
+
+def q_minhash_incremental_md5_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """B48 incremental dedup in the gate (VERDICT r3 #6), ORACLE-BACKED:
+    corpus = documents with doc_id%10 != 0, persisted LSH index =
+    minhash_band_buckets over the corpus signatures; batch = the doc_id%10
+    == 0 docs plus 50 planted copies of the lowest-id corpus docs
+    (id+200000) so index hits are guaranteed. The batch alone is shingled/
+    signed and equi-joined against the index (corpus never rescanned), plus
+    the within-batch self-join — exactly the production ingestion path.
+    md5-derived shingle hash; hot-shingle cut disabled on BOTH sides so the
+    DuckDB twin recomputes identical minima (the cut itself is oracle-
+    proven by minhash_md5_candidates_documents)."""
+    md5h = lambda c, k: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f"{k}:"), c)), 1, 15), 16, 10
+    ).cast("long")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0).unionByName(
+        corpus.orderBy("doc_id").limit(50)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    sig = dedup.minhash_signatures(
+        corpus, num_hashes=64, max_shingle_freq=None, hash_fn=md5h)
+    idx = dedup.minhash_band_buckets(sig, num_hashes=64, bands=16)
+    return dedup.minhash_incremental_candidates(
+        batch, idx, num_hashes=64, bands=16, max_shingle_freq=None, hash_fn=md5h)
+
+
+SQL_MINHASH_INCREMENTAL_MD5_DOCUMENTS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ORDER BY doc_id LIMIT 50
+  )
+),
+wc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl FROM corpus),
+wb AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wl FROM batch),
+shc AS (
+  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+  FROM wc, UNNEST(range(1, GREATEST(len(wl) - 1, 1))) AS t(i)
+),
+shb AS (
+  SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+  FROM wb, UNNEST(range(1, GREATEST(len(wl) - 1, 1))) AS t(i)
+),
+mhc AS (
+  SELECT doc_id, k,
+         MIN(CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15))
+                  AS BIGINT)) AS mn
+  FROM shc, UNNEST(range(0, 64)) AS t(k) GROUP BY 1, 2
+),
+mhb AS (
+  SELECT doc_id, k,
+         MIN(CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15))
+                  AS BIGINT)) AS mn
+  FROM shb, UNNEST(range(0, 64)) AS t(k) GROUP BY 1, 2
+),
+bandc AS (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY k) AS sig
+  FROM mhc GROUP BY 1, 2
+),
+bandb AS (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY k) AS sig
+  FROM mhb GROUP BY 1, 2
+)
+SELECT DISTINCT b.doc_id AS id_new, c.doc_id AS id_other, 'corpus' AS origin
+FROM bandb b JOIN bandc c
+  ON b.band = c.band AND b.sig = c.sig AND b.doc_id <> c.doc_id
+UNION ALL
+SELECT DISTINCT x.doc_id, y.doc_id, 'batch'
+FROM bandb x JOIN bandb y
+  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+"""
+
+
+# fidelity via id-arithmetic (VERDICT r3 #4): a dup_phash-only fixture makes
+# the violating set exactly the planted phash-swap rows, whose ids, stored
+# and recomputed hashes are all computable in pure numpy from the plant plan
+# — DuckDB gets them as a VALUES literal, no decoding required. The Spark
+# side still decodes every byte payload and recomputes the hash, so a match
+# proves the encode -> decode -> phash pipeline end-to-end.
+_FIDELITY_PHASH_CFG = dict(
+    n=2000, n_parts=16, with_bytes=True,
+    rate_dup_id=0.0, rate_orphan_fmt=0.0, rate_orphan_license=0.0,
+    rate_w_zero=0.0, rate_h_big=0.0, rate_null_caption=0.0, rate_bad_id=0.0,
+)
+
+
+def q_fidelity_phash_images(spark: SparkSession, sf: str) -> DataFrame:
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.passes.fidelity import fidelity_violations_phash
+
+    cfg = FX.FixtureConfig(**_FIDELITY_PHASH_CFG)
+    fact = FX.generate_images_df(spark, cfg)
+    return fidelity_violations_phash(fact, fraction=1.0).select(
+        "part_id", "row_key", "keyword", "path", "value")
+
+
+def _sql_fidelity_phash_images() -> str:
+    from jsonschema_spark import fixtures as FX
+
+    cfg = FX.FixtureConfig(**_FIDELITY_PHASH_CFG)
+    plan = FX.build_plan(cfg)
+    rows = []
+    for i, j in sorted(plan.dup_phash.items()):
+        wi, hi = FX.dims_for(i, (i % cfg.n_parts) == cfg.drift_part)
+        wj, hj = FX.dims_for(j, (j % cfg.n_parts) == cfg.drift_part)
+        got = FX.phash64(FX.pixels_for(i, wi, hi))
+        stored = FX.phash64(FX.pixels_for(j, wj, hj))
+        if got != stored:
+            rows.append((i % cfg.n_parts, f"img-{i:012d}",
+                         f"stored={stored} recomputed={got}"))
+    if not rows:  # theoretical all-pairs-collide guard
+        return ("SELECT CAST(NULL AS INT) AS part_id, CAST(NULL AS VARCHAR) AS row_key, "
+                "CAST(NULL AS VARCHAR) AS keyword, CAST(NULL AS VARCHAR) AS path, "
+                "CAST(NULL AS VARCHAR) AS value WHERE FALSE")
+    values = ",\n".join(
+        f"({p}, '{rid}', 'fidelity', '/phash', '{val}')" for p, rid, val in rows)
+    return (f"SELECT CAST(part_id AS INT) AS part_id, row_key, keyword, path, value "
+            f"FROM (VALUES {values}) AS t(part_id, row_key, keyword, path, value)")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries (the driver's oracle-gate cap): 49 oracle-backed +
+    the rows-only flagship last. r03 queries that would not fit are merged
+    (see the consolidation note above) — NO operator lost its oracle; the
+    merged query runs the union of the exact former per-operator results."""
     return {
-        "row_checks_lineitem": q_row_checks_lineitem,
-        "enum_pattern_orders": q_enum_pattern_orders,
-        "strings_customer": q_strings_customer,
-        "combinators_part": q_combinators_part,
-        "stats_lineitem": q_stats_lineitem,
-        "uniqueness_orders": q_uniqueness_orders,
-        "referential_customer_nation": q_referential_customer_nation,
-        "referential_lineitem_orders": q_referential_lineitem_orders,
-        "hist_events": q_hist_events,
-        "psi_ks_events": q_psi_ks_events,
-        "divergence_events": q_divergence_events,
-        "quantile_drift_events": q_quantile_drift_events,
-        "predicates_lineitem": q_predicates_lineitem,
-        "conditional_orders": q_conditional_orders,
-        "content_documents": q_content_documents,
-        "unevaluated_events": q_unevaluated_events,
-        "anomaly_documents": q_anomaly_documents,
-        "embedding_drift_labels": q_embedding_drift,
-        "ks_documents": q_ks_documents,
-        "array_embeddings": q_array_embeddings,
-        "json_events": q_json_events,
-        "json_validate_events": q_json_validate_events,
-        "grouping_sets_orders": q_grouping_sets_orders,
-        "topk_violations_orders": q_topk_violations_orders,
-        "resume_filter_orders": q_resume_filter_orders,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "ngram_jaccard_documents": q_ngram_jaccard_documents,
-        "minhash_candidates_documents": q_minhash_candidates_documents,
-        "simhash_documents": q_simhash_documents,
-        "keep_canonical_documents": q_keep_canonical_documents,
-        "dup_clusters_documents": q_dup_clusters_documents,
-        "hash_sample_documents": q_hash_sample_documents,
-        "stratified_sample_documents": q_stratified_sample_documents,
-        "splits_documents": q_splits_documents,
-        "pii_counts_documents": q_pii_counts_documents,
-        "pii_findings_documents": q_pii_findings_documents,
-        "pii_redact_documents": q_pii_redact_documents,
-        "minhash_dedup_documents": q_minhash_dedup_documents,
-        "simhash_near_dups_documents": q_simhash_near_dups_documents,
-        "hamming_pairs_documents": q_hamming_pairs_documents,
-        "embedding_near_dups": q_embedding_near_dups,
-        "cosine_topk_embeddings": q_cosine_topk_embeddings,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "lsh_recall_embeddings": q_lsh_recall_embeddings,
-        "ivf_recall_embeddings": q_ivf_recall_embeddings,
-        "simhash_md5_documents": q_simhash_md5_documents,
-        "simhash_near_dups_md5_documents": q_simhash_near_dups_md5_documents,
-        "minhash_md5_candidates_documents": q_minhash_md5_candidates_documents,
-        "fidelity_images": q_fidelity_images,
-        "langid_documents": q_langid_documents,
-        "quality_documents": q_quality_documents,
-        "token_counts_documents": q_token_counts_documents,
-        "repetition_documents": q_repetition_documents,
-        "top2gram_documents": q_top2gram_documents,
+        # --- previously gate-uncovered (VERDICT r3 #1) first ---------------
+        "stats_check_verdicts": q_stats_check_verdicts,
+        "text_metrics_documents": q_text_metrics_documents,
+        "repetition_documents": q_repetition_full_documents,
         "decontam_documents": q_decontam_documents,
         "overlap_documents": q_overlap_documents,
         "quantiles_documents": q_quantiles_documents,
@@ -2196,65 +2719,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packs_documents": q_packs_documents,
         "curate_documents": q_curate_documents,
         "diff_documents": q_diff_documents,
-        "quantile_verdicts_documents": q_quantile_verdicts_documents,
-        "distinct_verdicts_documents": q_distinct_verdicts_documents,
-        "nullrate_verdicts_events": q_nullrate_verdicts_events,
-        "fingerprints_documents": q_fingerprints_documents,
+        # --- new round-4 gate queries --------------------------------------
+        "minhash_incremental_md5_documents": q_minhash_incremental_md5_documents,
+        "fidelity_phash_images": q_fidelity_phash_images,
+        # --- merged carriers of r03-green queries ---------------------------
+        "sampling_documents": q_sampling_documents,
+        "pii_findings_documents": q_pii_findings_documents_v2,
+        "pii_redact_documents": q_pii_redact_documents,
+        "ann_recall_embeddings": q_ann_recall_embeddings,
+        "simhash_md5_documents": q_simhash_md5_full_documents,
+        "json_payloads_events": q_json_payloads_events,
+        "referential_violations": q_referential_violations,
+        "drift_psi_ks": q_drift_psi_ks,
+        # --- Part-A keyword queries -----------------------------------------
+        "row_checks_lineitem": q_row_checks_lineitem,
+        "enum_pattern_orders": q_enum_pattern_orders,
+        "strings_customer": q_strings_customer,
+        "combinators_part": q_combinators_part,
+        "conditional_orders": q_conditional_orders,
+        "content_documents": q_content_documents,
+        "unevaluated_events": q_unevaluated_events,
+        "predicates_lineitem": q_predicates_lineitem,
+        "array_embeddings": q_array_embeddings,
+        # --- passes ----------------------------------------------------------
+        "stats_lineitem": q_stats_lineitem,
+        "uniqueness_orders": q_uniqueness_orders,
+        "hist_events": q_hist_events,
+        "divergence_events": q_divergence_events,
+        "quantile_drift_events": q_quantile_drift_events,
+        "anomaly_documents": q_anomaly_documents,
+        "embedding_drift_labels": q_embedding_drift,
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "topk_violations_orders": q_topk_violations_orders,
+        "resume_filter_orders": q_resume_filter_orders,
+        # --- dedup / similarity ----------------------------------------------
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "keep_canonical_documents": q_keep_canonical_documents,
+        "dup_clusters_documents": q_dup_clusters_documents,
+        "minhash_dedup_documents": q_minhash_dedup_documents,
+        "minhash_md5_candidates_documents": q_minhash_md5_candidates_documents,
+        "hamming_pairs_documents": q_hamming_pairs_documents,
+        "embedding_near_dups": q_embedding_near_dups,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        # --- flagship (rows-only, deliberately last) -------------------------
         "images_full_suite": q_images_full_suite,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "row_checks_lineitem": SQL_ROW_CHECKS_LINEITEM,
-        "enum_pattern_orders": SQL_ENUM_PATTERN_ORDERS,
-        "strings_customer": SQL_STRINGS_CUSTOMER,
-        "combinators_part": SQL_COMBINATORS_PART,
-        "stats_lineitem": SQL_STATS_LINEITEM,
-        "uniqueness_orders": SQL_UNIQUENESS_ORDERS,
-        "referential_customer_nation": SQL_REFERENTIAL_CUSTOMER_NATION,
-        "referential_lineitem_orders": SQL_REFERENTIAL_LINEITEM_ORDERS,
-        "hist_events": SQL_HIST_EVENTS,
-        "psi_ks_events": SQL_PSI_KS_EVENTS,
-        "divergence_events": SQL_DIVERGENCE_EVENTS,
-        "quantile_drift_events": SQL_QUANTILE_DRIFT_EVENTS,
-        "predicates_lineitem": SQL_PREDICATES_LINEITEM,
-        "conditional_orders": SQL_CONDITIONAL_ORDERS,
-        "content_documents": SQL_CONTENT_DOCUMENTS,
-        "unevaluated_events": SQL_UNEVALUATED_EVENTS,
-        "anomaly_documents": SQL_ANOMALY_DOCUMENTS,
-        "embedding_drift_labels": SQL_EMBEDDING_DRIFT,
-        "ks_documents": SQL_KS_DOCUMENTS,
-        "array_embeddings": SQL_ARRAY_EMBEDDINGS,
-        "json_events": SQL_JSON_EVENTS,
-        "json_validate_events": SQL_JSON_VALIDATE_EVENTS,
-        "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
-        "topk_violations_orders": SQL_TOPK_VIOLATIONS_ORDERS,
-        "resume_filter_orders": SQL_RESUME_FILTER_ORDERS,
-        "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
-        "ngram_jaccard_documents": SQL_NGRAM_JACCARD_DOCUMENTS,
-        "keep_canonical_documents": SQL_KEEP_CANONICAL_DOCUMENTS,
-        "dup_clusters_documents": SQL_DUP_CLUSTERS_DOCUMENTS,
-        "hash_sample_documents": SQL_HASH_SAMPLE_DOCUMENTS,
-        "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
-        "splits_documents": SQL_SPLITS_DOCUMENTS,
-        "pii_counts_documents": SQL_PII_COUNTS_DOCUMENTS,
-        "pii_findings_documents": SQL_PII_FINDINGS_DOCUMENTS,
-        "pii_redact_documents": SQL_PII_REDACT_DOCUMENTS,
-        "minhash_dedup_documents": SQL_MINHASH_DEDUP_DOCUMENTS,
-        "hamming_pairs_documents": SQL_HAMMING_PAIRS_DOCUMENTS,
-        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-        "cosine_topk_embeddings": SQL_COSINE_TOPK_EMBEDDINGS,
-        "lsh_recall_embeddings": SQL_LSH_RECALL_EMBEDDINGS,
-        "ivf_recall_embeddings": SQL_IVF_RECALL_EMBEDDINGS,
-        "simhash_md5_documents": SQL_SIMHASH_MD5_DOCUMENTS,
-        "simhash_near_dups_md5_documents": SQL_SIMHASH_NEAR_DUPS_MD5_DOCUMENTS,
-        "minhash_md5_candidates_documents": SQL_MINHASH_MD5_CANDIDATES_DOCUMENTS,
-        "langid_documents": SQL_LANGID_DOCUMENTS,
-        "quality_documents": SQL_QUALITY_DOCUMENTS,
-        "token_counts_documents": SQL_TOKEN_COUNTS_DOCUMENTS,
-        "repetition_documents": SQL_REPETITION_DOCUMENTS,
-        "top2gram_documents": SQL_TOP2GRAM_DOCUMENTS,
+        "stats_check_verdicts": SQL_STATS_CHECK_VERDICTS,
+        "text_metrics_documents": SQL_TEXT_METRICS_DOCUMENTS,
+        "repetition_documents": SQL_REPETITION_FULL_DOCUMENTS,
         "decontam_documents": SQL_DECONTAM_DOCUMENTS,
         "overlap_documents": SQL_OVERLAP_DOCUMENTS,
         "quantiles_documents": SQL_QUANTILES_DOCUMENTS,
@@ -2263,13 +2780,46 @@ def oracle_sql() -> dict[str, str]:
         "packs_documents": SQL_PACKS_DOCUMENTS,
         "curate_documents": SQL_CURATE_DOCUMENTS,
         "diff_documents": SQL_DIFF_DOCUMENTS,
-        "quantile_verdicts_documents": SQL_QUANTILE_VERDICTS_DOCUMENTS,
-        "distinct_verdicts_documents": SQL_DISTINCT_VERDICTS_DOCUMENTS,
-        "nullrate_verdicts_events": SQL_NULLRATE_VERDICTS_EVENTS,
-        "fingerprints_documents": SQL_FINGERPRINTS_DOCUMENTS,
-        # minhash/simhash/lsh_topk/images_full_suite: xxhash64 / binary payloads
-        # have no DuckDB twin → rows-only checks + pytest goldens. The
-        # simhash_md5 / minhash_md5 / hamming_pairs / *_recall rows above
-        # run the SAME plans with SQL-expressible hashes, oracle-proving
-        # each approximate family's pipeline end-to-end.
+        "minhash_incremental_md5_documents": SQL_MINHASH_INCREMENTAL_MD5_DOCUMENTS,
+        "fidelity_phash_images": _sql_fidelity_phash_images(),
+        "sampling_documents": SQL_SAMPLING_DOCUMENTS,
+        "pii_findings_documents": SQL_PII_FINDINGS_V2,
+        "pii_redact_documents": SQL_PII_REDACT_DOCUMENTS,
+        "ann_recall_embeddings": SQL_ANN_RECALL_EMBEDDINGS,
+        "simhash_md5_documents": SQL_SIMHASH_MD5_FULL_DOCUMENTS,
+        "json_payloads_events": SQL_JSON_PAYLOADS_EVENTS,
+        "referential_violations": SQL_REFERENTIAL_VIOLATIONS,
+        "drift_psi_ks": SQL_DRIFT_PSI_KS,
+        "row_checks_lineitem": SQL_ROW_CHECKS_LINEITEM,
+        "enum_pattern_orders": SQL_ENUM_PATTERN_ORDERS,
+        "strings_customer": SQL_STRINGS_CUSTOMER,
+        "combinators_part": SQL_COMBINATORS_PART,
+        "conditional_orders": SQL_CONDITIONAL_ORDERS,
+        "content_documents": SQL_CONTENT_DOCUMENTS,
+        "unevaluated_events": SQL_UNEVALUATED_EVENTS,
+        "predicates_lineitem": SQL_PREDICATES_LINEITEM,
+        "array_embeddings": SQL_ARRAY_EMBEDDINGS,
+        "stats_lineitem": SQL_STATS_LINEITEM,
+        "uniqueness_orders": SQL_UNIQUENESS_ORDERS,
+        "hist_events": SQL_HIST_EVENTS,
+        "divergence_events": SQL_DIVERGENCE_EVENTS,
+        "quantile_drift_events": SQL_QUANTILE_DRIFT_EVENTS,
+        "anomaly_documents": SQL_ANOMALY_DOCUMENTS,
+        "embedding_drift_labels": SQL_EMBEDDING_DRIFT,
+        "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
+        "topk_violations_orders": SQL_TOPK_VIOLATIONS_ORDERS,
+        "resume_filter_orders": SQL_RESUME_FILTER_ORDERS,
+        "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+        "ngram_jaccard_documents": SQL_NGRAM_JACCARD_DOCUMENTS,
+        "keep_canonical_documents": SQL_KEEP_CANONICAL_DOCUMENTS,
+        "dup_clusters_documents": SQL_DUP_CLUSTERS_DOCUMENTS,
+        "minhash_dedup_documents": SQL_MINHASH_DEDUP_DOCUMENTS,
+        "minhash_md5_candidates_documents": SQL_MINHASH_MD5_CANDIDATES_DOCUMENTS,
+        "hamming_pairs_documents": SQL_HAMMING_PAIRS_DOCUMENTS,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "cosine_topk_embeddings": SQL_COSINE_TOPK_EMBEDDINGS,
+        # images_full_suite: binary image payloads + six-pass suite have no
+        # DuckDB twin → rows-only check + golden pytest. Every other entry
+        # above is oracle-backed (49 of 50), including the md5/recall twins
+        # that prove the xxhash64 production paths end-to-end.
     }

@@ -26,36 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# the representative subset of __spark_entry__.queries() timed per-round
-HEADLINE = [
-    "row_checks_lineitem",
-    "stats_lineitem",
-    "uniqueness_orders",
-    "referential_customer_nation",
-    "referential_lineitem_orders",
-    "psi_ks_events",
-    "divergence_events",
-    "quantile_drift_events",
-    "predicates_lineitem",
-    "anomaly_documents",
-    "topk_violations_orders",
-    "dedup_exact_documents",
-    "minhash_candidates_documents",
-    "minhash_dedup_documents",
-    "simhash_documents",
-    "hamming_pairs_documents",
-    "embedding_near_dups",
-    "cosine_topk_embeddings",
-    "quality_documents",
-    "fingerprints_documents",
-    # round-3 late additions: the new shuffle/join shapes worth timing —
-    # top-n-gram (explode+agg+window), decontamination (broadcast shingle
-    # join), theta overlap (two 1-row sketch aggs), KLL quantile merge
-    "top2gram_documents",
-    "decontam_documents",
-    "overlap_documents",
-    "quantiles_documents",
-]
+# Round 4 (VERDICT r3 #5): time the ENTIRE driver registry — every gate
+# query gets a per-round median so regressions stay visible. The registry's
+# small images_full_suite (2k-row fixture) is excluded here because bench
+# times the 8M-image flagship under that same key below.
+def headline_names(qs: dict) -> list[str]:
+    return [n for n in qs if n != "images_full_suite"]
 
 # 8M-image flagship (round 2): at 2M the full suite is dominated by
 # fixed stage-scheduling latency (~15 s of its ~30 s wall) and the
@@ -129,7 +105,7 @@ def main() -> None:
     # warm-up (JVM, codegen, parquet footer caches) — not billed
     sink(qs["row_checks_lineitem"](spark, SF_DIR).limit(1000))
 
-    for name in HEADLINE:
+    for name in headline_names(qs):
         timings[name] = timed_median(lambda: sink(qs[name](spark, SF_DIR)), name)
 
     # flagship: full six-pass suite over the deterministic image table

@@ -194,7 +194,10 @@ def _covers_field(
         return True
     terms: list[Column] = []
     for sub, guard in _applicator_guards(node, col, dt):
-        c = _covers_field(sub, fname, col, dt)
+        # a validated applied branch carrying its own unevaluatedProperties
+        # evaluates every name (annotation flow — mirrors local._names_cover)
+        c = (True if sub.unevaluated_properties is not None
+             else _covers_field(sub, fname, col, dt))
         if c is False:
             continue
         terms.append(guard if c is True else guard & c)
@@ -216,7 +219,8 @@ def _covers_key(
     for rx in node.pattern_properties:
         terms.append(kcol.rlike(sqlglue.to_java_regex(rx)))
     for sub, guard in _applicator_guards(node, col, dt):
-        c = _covers_key(sub, kcol, col, dt)
+        c = (True if sub.unevaluated_properties is not None
+             else _covers_key(sub, kcol, col, dt))
         if c is False:
             continue
         terms.append(guard if c is True else guard & c)
@@ -238,7 +242,8 @@ def _items_covered(node: SpecNode, col: Column, dt: T.DataType | None):
         base = len(node.tuple_items)
     parts: list[Column] = []
     for sub, guard in _applicator_guards(node, col, dt):
-        c = _items_covered(sub, col, dt)
+        c = (_ALL_ITEMS if sub.unevaluated_items is not None
+             else _items_covered(sub, col, dt))
         if c is _ALL_ITEMS:
             parts.append(F.when(guard, F.size(col)).otherwise(F.lit(0)))
         else:
@@ -378,8 +383,27 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
                 cs = node.content_schema
                 jtxt = blob.cast("string") if node.content_encoding == "base64" else col
                 cdt = spec_struct_type(cs)
-                cs_ok = F.coalesce(
-                    node_valid(cs, F.from_json(jtxt, cdt), cdt), F.lit(True))
+                if isinstance(cdt, (T.StructType, T.ArrayType, T.MapType)):
+                    parsed = F.from_json(jtxt, cdt)
+                    cs_ok = F.coalesce(node_valid(cs, parsed, cdt), F.lit(True))
+                else:
+                    # scalar contentSchema (e.g. {"type":"integer"}): from_json
+                    # only accepts container types, so parse {"v": <text>} into
+                    # struct<v: scalar> — proper JSON scalar parsing (quoted
+                    # strings, null) entirely inside codegen. A JSON value that
+                    # does not coerce to the scalar type parses to null, which
+                    # is a TYPE mismatch (not a forgiven null) unless the
+                    # subschema's type admits null — mirrors the E1 evaluator.
+                    parsed = F.from_json(
+                        F.concat(F.lit('{"v":'), jtxt, F.lit('}')),
+                        T.StructType([T.StructField("v", cdt)]),
+                    )["v"]
+                    nt = cs.type
+                    allows_null = nt is None or "null" in nt or "any" in nt
+                    cs_ok = (
+                        F.coalesce(node_valid(cs, parsed, cdt), F.lit(True))
+                        & (parsed.isNotNull() | F.lit(allows_null))
+                    )
                 # only judge content that parsed as JSON (media-type/encoding
                 # violations own the unparseable cases)
                 add("contentSchema", _forgive_null(

@@ -308,6 +308,12 @@ def _names_cover(v: dict, n: SpecNode, acc: set) -> bool:
     for rx in n.pattern_properties:
         acc.update(k for k in v if re.search(rx, k))
     for sub in _applied_subschemas(v, n):
+        # a VALIDATED applied branch carrying its own unevaluatedProperties
+        # evaluates every name (d2019 annotation flow): a schema/true applies
+        # to all names not otherwise evaluated there, and false could only
+        # validate if no name was left unevaluated
+        if sub.unevaluated_properties is not None:
+            return True
         if _names_cover(v, sub, acc):
             return True
     return False
@@ -327,6 +333,10 @@ def _items_cover(v: list, n: SpecNode) -> int:
             return len(v)
         cov = min(len(n.tuple_items), len(v))
     for sub in _applied_subschemas(v, n):
+        # mirror of _names_cover: a validated applied branch with its own
+        # unevaluatedItems evaluates the whole array
+        if sub.unevaluated_items is not None:
+            return len(v)
         cov = max(cov, _items_cover(v, sub))
         if cov >= len(v):
             return len(v)

@@ -17,6 +17,14 @@ pack may overflow by at most one document — the standard streaming-packing
 approximation; ``packing_stats`` reports the realized waste/overflow so the
 trade-off is measured, not assumed. Deterministic and engine-portable
 (DuckDB window-function oracle twin).
+
+When ``part_col`` is omitted the packing partition defaults to
+``spark_partition_id()`` — each input split packs independently, so the
+window never routes the whole corpus through one reducer (a plan test pins
+that the default invocation contains no SinglePartition exchange). The
+default is deterministic only for a fixed input partitioning; pass
+``part_col`` when packs must be reproducible across layouts (the oracle
+query does).
 """
 
 from __future__ import annotations
@@ -41,7 +49,8 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     toks = (F.col(token_col) if token_col is not None
             else F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-    part = F.col(part_col) if part_col is not None else F.lit(0)
+    part = (F.col(part_col) if part_col is not None
+            else F.spark_partition_id().cast("long"))
     base = df.select(
         part.alias("part"),
         F.col(id_col),

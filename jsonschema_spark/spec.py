@@ -380,20 +380,33 @@ def _parse_node(
         kw["max_properties"] = int(s["maxProperties"])
     # d4 `dependencies` plus its draft-2019 split into dependentRequired
     # (name -> [names]) and dependentSchemas (name -> schema); all three
-    # normalize into the same dependencies map
+    # normalize into the same dependencies map. A name appearing under more
+    # than one keyword ANDs its constraints (draft-2019: the keywords are
+    # independent) — name lists union, schemas wrap in a synthetic allOf.
     if "dependencies" in s or "dependentRequired" in s or "dependentSchemas" in s:
-        deps: dict[str, Any] = {}
+        raw_deps: dict[str, list[Any]] = {}
         for name, d in s.get("dependencies", {}).items():
-            if isinstance(d, str):         # d3 single-name form
-                deps[name] = (d,)
-            elif isinstance(d, list):
-                deps[name] = tuple(d)
-            else:
-                deps[name] = _sub(d, root, depth + 1, ref_stack)
+            raw_deps.setdefault(name, []).append((d,) if isinstance(d, str) else d)
         for name, d in s.get("dependentRequired", {}).items():
-            deps[name] = tuple(d)
+            raw_deps.setdefault(name, []).append(list(d))
         for name, d in s.get("dependentSchemas", {}).items():
-            deps[name] = _sub(d, root, depth + 1, ref_stack)
+            raw_deps.setdefault(name, []).append(d)
+        deps: dict[str, Any] = {}
+        for name, entries in raw_deps.items():
+            names: list[str] = []
+            schemas: list[Any] = []
+            for d in entries:
+                if isinstance(d, (list, tuple)):
+                    names.extend(n for n in d if n not in names)
+                else:
+                    schemas.append(d)
+            if not schemas:
+                deps[name] = tuple(names)
+            else:
+                if names:
+                    schemas.append({"required": names})
+                merged = schemas[0] if len(schemas) == 1 else {"allOf": schemas}
+                deps[name] = _sub(merged, root, depth + 1, ref_stack)
         kw["dependencies"] = deps
     if "allOf" in s or "extends" in s:     # d3 extends ≙ allOf (A18)
         ext = s.get("allOf", s.get("extends"))
