@@ -254,6 +254,21 @@ def _items_covered(node: SpecNode, col: Column, dt: T.DataType | None):
     return F.greatest(F.lit(base), *parts)
 
 
+def _contains_subschemas(
+    node: SpecNode, col: Column, dt: T.DataType | None
+) -> list[tuple[SpecNode, Column | None]]:
+    """(contains-subschema, guard) pairs whose annotations apply at this
+    node — the compiled mirror of local._contains_evaluators; guard is None
+    for this schema's own contains, a branch-validity Column otherwise."""
+    out: list[tuple[SpecNode, Column | None]] = []
+    if node.contains is not None:
+        out.append((node.contains, None))
+    for br, guard in _applicator_guards(node, col, dt):
+        for sub, g in _contains_subschemas(br, col, dt):
+            out.append((sub, guard if g is None else (guard & g)))
+    return out
+
+
 def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
     node: SpecNode, col: Column, path: str, column: str, dt: T.DataType | None
 ) -> list[CheckExpr]:
@@ -460,13 +475,31 @@ def compile_node(  # noqa: C901 — keyword dispatch is intrinsically wide
             cov = _items_covered(node, col, dt)
             if cov is not _ALL_ITEMS:
                 covc = F.lit(cov) if isinstance(cov, int) else cov
+                # d2019 §9.3.1.4: items matched by an applicable `contains`
+                # (this schema's or a validated applied branch's, guard-
+                # Column-gated) are evaluated — exempt them per item
+                cpreds = _contains_subschemas(node, col, dt)
+
+                def _cont_ok(x):
+                    terms = [
+                        (g & F.coalesce(node_valid(sub, x, elem_dt), F.lit(False)))
+                        if g is not None
+                        else F.coalesce(node_valid(sub, x, elem_dt), F.lit(False))
+                        for sub, g in cpreds
+                    ]
+                    return reduce(lambda a, b: a | b, terms) if terms else F.lit(False)
+
+                tail = F.slice(col, covc + F.lit(1),
+                               F.greatest(F.size(col) - covc, F.lit(0)))
                 if node.unevaluated_items is False:
-                    add("unevaluatedItems", _forgive_null(col, F.size(col) <= covc))
+                    if cpreds:
+                        ok = F.forall(tail, _cont_ok)
+                    else:
+                        ok = F.size(col) <= covc
+                    add("unevaluatedItems", _forgive_null(col, ok))
                 else:
                     ui = node.unevaluated_items
-                    tail = F.slice(col, covc + F.lit(1),
-                                   F.greatest(F.size(col) - covc, F.lit(0)))
-                    ok = F.forall(tail, lambda x: F.coalesce(
+                    ok = F.forall(tail, lambda x: _cont_ok(x) | F.coalesce(
                         node_valid(ui, x, elem_dt), F.lit(True)))
                     add("unevaluatedItems", _forgive_null(col, ok))
 

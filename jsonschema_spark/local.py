@@ -245,7 +245,12 @@ def _eval(v: Any, n: SpecNode, path: str, out: list[Violation]) -> None:  # noqa
     if isinstance(v, list) and n.unevaluated_items is not None \
             and n.unevaluated_items is not True:
         cov = _items_cover(v, n)
+        cevals = _contains_evaluators(v, n)
         for i in range(min(cov, len(v)), len(v)):
+            # d2019 §9.3.1.4: items matched by an applicable `contains`
+            # (this schema's or a validated applied branch's) are evaluated
+            if any(_eval_quiet(v[i], c) for c in cevals):
+                continue
             if n.unevaluated_items is False:
                 out.append(Violation("unevaluatedItems", f"{path}/{i}", v[i]))
             else:
@@ -319,12 +324,21 @@ def _names_cover(v: dict, n: SpecNode, acc: set) -> bool:
     return False
 
 
+def _contains_evaluators(v: list, n: SpecNode) -> list[SpecNode]:
+    """`contains` subschemas whose annotations apply to ``v`` (this schema's
+    own plus those of validated applied branches, recursively) — items they
+    match count as evaluated for unevaluatedItems (d2019 §9.3.1.4)."""
+    subs = [n.contains] if n.contains is not None else []
+    for sub in _applied_subschemas(v, n):
+        subs.extend(_contains_evaluators(v, sub))
+    return subs
+
+
 def _items_cover(v: list, n: SpecNode) -> int:
     """Number of leading items of ``v`` evaluated by ``n`` and its applied
     branches. Single-schema ``items`` (or any ``additionalItems``) evaluates
-    everything; tuple form evaluates its prefix. Divergence (documented):
-    draft-2019 also marks ``contains``-matched items evaluated — this engine
-    does not track per-item contains annotations."""
+    everything; tuple form evaluates its prefix. ``contains``-matched items
+    are handled separately (per-item, ``_contains_evaluators``)."""
     if n.items is not None:
         return len(v)
     cov = 0

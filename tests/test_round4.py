@@ -172,6 +172,45 @@ def test_unevaluated_nested_branch_compiled_map_runtime(spark):
     assert viols == []
 
 
+# ------------------------------------------ x-table-checks lint (round 4)
+
+def test_lint_x_table_checks():
+    from jsonschema_spark.lint import lint_spec
+
+    spec = {
+        "properties": {"w": {}, "fmt": {}},
+        "x-table-checks": {
+            "quantiles": [
+                {"column": "w", "q": 1.5, "max": 10},      # q out of range
+                {"column": "nope", "q": 0.5, "min": 0},    # undeclared column
+                {"column": "w", "q": 0.5},                 # no bound
+                {"column": "w", "q": 0.9, "min": 10, "max": 5},  # inverted
+            ],
+            "distinct": [{"column": "fmt", "min": 5, "max": 2}],
+            "null-rates": [{"column": "w", "max_rate": 1.5}],
+            "references": [{"column": "fmt"}],             # missing dim/key
+        },
+    }
+    findings = lint_spec(spec)
+    msgs = {(sev, p) for sev, p, _ in findings}
+    assert ("error", "/x-table-checks/quantiles/0") in msgs
+    assert ("error", "/x-table-checks/quantiles/1") in msgs
+    assert ("error", "/x-table-checks/quantiles/2") in msgs
+    assert ("error", "/x-table-checks/quantiles/3") in msgs
+    assert ("error", "/x-table-checks/distinct/0") in msgs
+    assert ("error", "/x-table-checks/null-rates/0") in msgs
+    assert ("error", "/x-table-checks/references/0") in msgs
+
+
+def test_lint_flagship_spec_clean():
+    """The shipped flagship spec must lint clean (no errors)."""
+    from jsonschema_spark.lint import lint_spec
+    from jsonschema_spark import fixtures as FX
+
+    errors = [f for f in lint_spec(FX.SPEC_IMAGES) if f[0] == "error"]
+    assert errors == []
+
+
 # --------------------------------- fidelity-ref join strategies (V#8)
 
 def test_fidelity_ref_join_strategies_agree(spark):

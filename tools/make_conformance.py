@@ -998,6 +998,32 @@ D7 = {
                 {"description": "all items evaluated", "data": [1, 2, 3], "valid": True},
             ],
         },
+        {
+            "description": "contains-matched items are evaluated (d2019 annotation)",
+            "schema": {"contains": {"type": "string"}, "unevaluatedItems": False},
+            "tests": [
+                {"description": "all items match contains", "data": ["a", "b"], "valid": True},
+                {"description": "non-matching item unevaluated", "data": ["a", 1], "valid": False},
+                {"description": "empty array fails contains itself", "data": [], "valid": False},
+            ],
+        },
+        {
+            "description": "contains annotations flow from validated allOf branch",
+            "schema": {"allOf": [{"contains": {"type": "string"}}],
+                       "unevaluatedItems": {"type": "integer"}},
+            "tests": [
+                {"description": "strings via contains, ints via schema", "data": ["a", 1, "b"], "valid": True},
+                {"description": "bool neither contained nor integer", "data": ["a", True], "valid": False},
+            ],
+        },
+        {
+            "description": "nested unevaluatedProperties in validated branch covers all",
+            "schema": {"allOf": [{"unevaluatedProperties": True}],
+                       "unevaluatedProperties": False},
+            "tests": [
+                {"description": "branch evaluates everything", "data": {"foo": 1}, "valid": True},
+            ],
+        },
     ],
     "exclusive-numeric.json": [
         {

@@ -155,6 +155,13 @@ def main() -> None:
         "n_rounds": len(rounds),
         "n_clean_rounds": len(clean),
         "degraded_evidence": degraded,
+        # round 4: the calibration job is sized >=30s at the large level
+        # (scaling_bench --calib-copies) so the denominator is work-dominated;
+        # a clean round with calib speedup <= 1.0 would indicate the sizing
+        # failed (trivially parallel work cannot slow down with 4x cores)
+        "min_clean_calib_speedup": (min(r["calib_speedup"] for r in clean)
+                                    if clean else None),
+        "min_calib_large_sec": min(r["calib_large_sec"] for r in rounds),
         "gate_figure_median_normalized_ratio": round(gate_fig, 3),
         "context_pooled_over_used_rounds": {
             "suite_speedup": round(pooled_speedup, 3),
@@ -193,9 +200,13 @@ rounds** exist; a round is clean iff the instrumented /proc/stat CPU-steal
 during BOTH suite timings is **< {args.steal_cut}%**. The gate figure is the
 **median over clean rounds of the per-round platform-normalized speedup
 ratio** — (suite_small/suite_large) / (calib_small/calib_large), where calib
-is a trivially-parallel zero-engine-code scan of the same input in the same
-JVM (a single box does not add DRAM channels with task slots the way a
-4N-executor cluster adds them with nodes).
+is a trivially-parallel zero-engine-code scan+hash of the same input in the
+same JVM (a single box does not add DRAM channels with task slots the way a
+4N-executor cluster adds them with nodes). Round 4: the calibration job is
+sized to **>=30s at the large level** (24 unioned hashed scans) so the
+denominator is work-dominated — the r3 single-scan (~1.4-3s) calibration was
+fixed-overhead-dominated and measured sub-1.0 "speedups" at 4x cores in 2 of
+4 clean rounds, which is noise by construction.
 
 **Why exclusion-by-steal, not averaging** (measured 2026-08-17, 7-round
 interleaved run): steal hits the two levels ASYMMETRICALLY — suite-run steal
