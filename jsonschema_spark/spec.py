@@ -155,19 +155,22 @@ def _as_tuple_of_types(v: Any) -> tuple[str, ...]:
     return vals
 
 
-def _find_anchor(doc: Any, name: str) -> Any:
+def _find_anchor(doc: Any, name: str, key: str = "$anchor") -> Any:
     """Depth-first search for a subschema carrying ``$anchor: name``
-    (draft-2019 §8.2.3 plain-name fragments, same-document)."""
+    (draft-2019 §8.2.3 plain-name fragments, same-document). A
+    ``$dynamicAnchor`` also registers as a plain anchor (d2020 §8.2.2), so
+    plain-$ref resolution accepts either; pass key="$dynamicAnchor" to
+    require the dynamic flavor."""
     if isinstance(doc, dict):
-        if doc.get("$anchor") == name:
+        if doc.get(key) == name or (key == "$anchor" and doc.get("$dynamicAnchor") == name):
             return doc
         for v in doc.values():
-            hit = _find_anchor(v, name)
+            hit = _find_anchor(v, name, key)
             if hit is not None:
                 return hit
     elif isinstance(doc, list):
         for v in doc:
-            hit = _find_anchor(v, name)
+            hit = _find_anchor(v, name, key)
             if hit is not None:
                 return hit
     return None
@@ -275,12 +278,24 @@ def _parse_node(
     # ignored, but merging is a strict superset and harmless for our corpus).
     # Cyclic refs unroll RECURSIVE_UNROLL times, then truncate permissively
     # (A22 — a recursive schema must parse, not error; see RECURSIVE_UNROLL).
-    if "$ref" in s:
-        ptr = s["$ref"]
+    if "$ref" in s or "$dynamicRef" in s:
+        # $dynamicRef (d2020 §8.2.3.2): resolves like $ref, except that when
+        # the target carries a matching $dynamicAnchor the reference re-binds
+        # to the OUTERMOST dynamic scope defining that anchor. We support
+        # same-document schemas only, where the outermost scope is the root
+        # document itself — so the document-order-first $dynamicAnchor from
+        # the root IS the correct binding. (Cross-resource dynamic rebinding
+        # would need an $id registry; out of scope, documented in SURVEY.)
+        ptr = s.get("$ref", s.get("$dynamicRef"))
         if ref_stack.count(ptr) >= RECURSIVE_UNROLL:
             return SpecNode()
-        target = _resolve_pointer(root, ptr)
-        merged = {k: v for k, v in s.items() if k != "$ref"}
+        if "$ref" not in s and ptr.startswith("#") and not ptr[1:].startswith("/"):
+            target = _find_anchor(root, ptr[1:], key="$dynamicAnchor")
+            if target is None:  # no dynamic anchor anywhere: plain-$ref fallback
+                target = _resolve_pointer(root, ptr)
+        else:
+            target = _resolve_pointer(root, ptr)
+        merged = {k: v for k, v in s.items() if k not in ("$ref", "$dynamicRef")}
         if isinstance(target, dict):
             for k, v in target.items():
                 merged.setdefault(k, v)
@@ -338,13 +353,29 @@ def _parse_node(
     if "pattern" in s:
         re.compile(s["pattern"])  # fail fast at compile time (A9)
         kw["pattern"] = s["pattern"]
-    if "items" in s:
+    if "prefixItems" in s:
+        # draft-2020-12 §10.3.1.1: the tuple form moved from `items` to
+        # `prefixItems`; a sibling `items` then constrains only the elements
+        # PAST the prefix (exactly draft-4 additionalItems), so both map onto
+        # the existing tuple machinery with identical semantics.
+        pi = s["prefixItems"]
+        if not isinstance(pi, list):
+            raise SpecError(f"prefixItems must be an array, got {pi!r}")
+        kw["tuple_items"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in pi)
+        if "items" in s:
+            it = s["items"]
+            kw["additional_items"] = (
+                it if isinstance(it, bool) else _sub(it, root, depth + 1, ref_stack))
+    elif "items" in s:
         it = s["items"]
         if isinstance(it, list):
             kw["tuple_items"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in it)
         else:
             kw["items"] = _sub(it, root, depth + 1, ref_stack)
-    if "additionalItems" in s:
+    if "additionalItems" in s and "prefixItems" not in s:
+        # d2020 removed additionalItems; alongside prefixItems the sibling
+        # `items` above already owns the tail, so a stray additionalItems is
+        # ignored exactly as the 2020-12 core spec prescribes.
         ai = s["additionalItems"]
         kw["additional_items"] = ai if isinstance(ai, bool) else _sub(ai, root, depth + 1, ref_stack)
     if "minItems" in s:
