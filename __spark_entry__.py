@@ -2337,15 +2337,26 @@ SELECT CAST(NULL AS INT), 'null-rate@/lang', l_nulls * 1.0 / n_rows <= 0.0,
 
 def q_text_metrics_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Text-analysis basics merged per doc (r03: langid_documents +
-    quality_documents + token_counts_documents + fingerprints_documents):
-    language-ID, quality signals, token counts and the normalized-content
-    fingerprint in one row per document."""
+    quality_documents + token_counts_documents + fingerprints_documents;
+    r04: + corpus-level boilerplate removal): language-ID, quality signals,
+    token counts, the normalized-content fingerprint, and the
+    boilerplate-scrubbed text (md5 + kept/removed line counts; lines are
+    whitespace tokens here, min_doc_frac=0.8 — exactly one corpus-ubiquitous
+    token qualifies on this table) in one row per document."""
     docs = _t(spark, sf, "documents")
     lid = T.language_id(docs)
     qs = T.quality_scores(docs)
     tc = T.token_counts(docs)
     fp = T.fingerprints(docs)
-    return lid.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
+    bp = T.boilerplate_lines(docs, min_doc_frac=0.8, line_sep=" ")
+    clean = T.remove_boilerplate(docs, bp, line_sep=" ").select(
+        "doc_id",
+        F.md5("text_clean").alias("boiler_clean_md5"),
+        F.col("n_lines_kept").alias("boiler_kept"),
+        F.col("n_lines_removed").alias("boiler_removed"),
+    )
+    return (lid.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
+            .join(clean, "doc_id"))
 
 
 SQL_TEXT_METRICS_DOCUMENTS = f"""
@@ -2379,8 +2390,31 @@ SELECT doc_id,
   len(wl) AS ws_tokens,
   len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS re_tokens,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                          '\\s+', ' ', 'g'))) AS fingerprint
+                          '\\s+', ' ', 'g'))) AS fingerprint,
+  b.boiler_clean_md5, b.boiler_kept, b.boiler_removed
 FROM s
+JOIN (
+  -- r04 boilerplate twin: lines = single-space split (mirrors the Spark
+  -- operator's literal-separator split, NOT the trimmed \\s+ token split)
+  WITH l AS (
+    SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS line
+    FROM documents WHERE text IS NOT NULL
+  ),
+  bp AS (
+    SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line)
+    WHERE nd >= 0.8 * (SELECT count(*) FROM documents WHERE text IS NOT NULL)
+  )
+  SELECT doc_id,
+    md5(coalesce(string_agg(CASE WHEN line NOT IN (SELECT line FROM bp)
+                                 THEN line END, ' ' ORDER BY pos), ''))
+      AS boiler_clean_md5,
+    CAST(count(CASE WHEN line NOT IN (SELECT line FROM bp) THEN 1 END) AS BIGINT)
+      AS boiler_kept,
+    CAST(count(CASE WHEN line IN (SELECT line FROM bp) THEN 1 END) AS BIGINT)
+      AS boiler_removed
+  FROM l GROUP BY doc_id
+) b USING (doc_id)
 """
 
 

@@ -190,6 +190,109 @@ def top_ngram_fraction(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    min_doc_frac: float = 0.5,
+    line_sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4 / RefinedWeb line-dedup
+    prerequisite): a line occurring in at least ``min_doc_frac`` of all
+    documents (per ``group_col`` when given — e.g. per source/domain, where
+    nav bars and cookie banners actually repeat) is boilerplate.
+
+    Shape at scale: per-doc DISTINCT lines explode to (group, line, doc) →
+    ONE hash aggregation keyed by (group, line) with map-side combine →
+    threshold filter against the (tiny) per-group doc count. No joins, no
+    windows; line keys are sharded by group so no single hot key forms.
+    Output: (group_col?, line, n_docs, doc_frac).
+
+    ``line_sep`` is a LITERAL separator (escaped internally for the split).
+    """
+    if not 0.0 < min_doc_frac <= 1.0:
+        raise ValueError("need 0 < min_doc_frac <= 1")
+    gcols = [group_col] if group_col else []
+    lines = F.explode(
+        F.array_distinct(F.split(F.col(text_col), _re_escape(line_sep)))
+    ).alias("line")
+    ex = df.where(F.col(text_col).isNotNull()).select(*gcols, F.col(id_col), lines)
+    # per-group doc totals are GROUP-cardinality rows (bounded) — computed
+    # distributedly and joined back on the group key, never collected
+    totals = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("_n_total"))
+    )
+    counts = ex.groupBy(*gcols, "line").agg(
+        F.count(F.lit(1)).alias("n_docs")  # lines are per-doc distinct already
+    )
+    joined = counts.join(F.broadcast(totals), gcols) if gcols else counts.crossJoin(
+        F.broadcast(totals)
+    )
+    return joined.where(
+        F.col("n_docs") >= F.lit(min_doc_frac) * F.col("_n_total")
+    ).select(
+        *gcols,
+        "line",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n_total"), 6).alias("doc_frac"),
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    boiler: DataFrame,
+    line_sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Scrub the ``boiler`` line set (from :func:`boilerplate_lines`) out of
+    every document, preserving line order. Every input doc survives — a doc
+    whose lines are ALL boilerplate comes back with empty ``text_clean``.
+
+    Shape at scale: posexplode(lines) → left join against the boilerplate
+    set (``strategy='broadcast'`` by default — the set is the head of the
+    line-frequency distribution, inherently small; ``'shuffle'`` for an
+    adversarially large set) → reassembly is ONE hash aggregation keyed by
+    the document id (collect (pos, line) structs, array_sort restores
+    order). Per-doc keys: no hot keys, payload bounded by doc length.
+    Output: (id_col, text_clean, n_lines_kept, n_lines_removed).
+    """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    gcols = [group_col] if group_col else []
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .select(*gcols, F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), _re_escape(line_sep)))
+                .alias("pos", "line"))
+    )
+    bset = boiler.select(*gcols, "line", F.lit(True).alias("_bp")).distinct()
+    if strategy == "broadcast":
+        bset = F.broadcast(bset)
+    j = ex.join(bset, [*gcols, "line"], "left")
+    kept = F.when(F.col("_bp").isNull(), F.struct("pos", "line"))
+    return j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["line"]),
+            line_sep,
+        ).alias("text_clean"),
+        F.count(kept).alias("n_lines_kept"),
+        F.count(F.when(F.col("_bp").isNotNull(), 1)).alias("n_lines_removed"),
+    )
+
+
+def _re_escape(sep: str) -> str:
+    """Escape a literal separator for Spark's Java-regex ``split``."""
+    import re as _re
+
+    return _re.escape(sep)
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 512,

@@ -231,3 +231,92 @@ def test_fidelity_ref_join_strategies_agree(spark):
         v = fidelity_violations_ref(fact, ref, fraction=1.0, strategy=strat)
         outs[strat] = {tuple(r) for r in v.collect()}
     assert outs["auto"] == outs["broadcast_sample"] == outs["shuffle_hash"]
+
+
+# ------------------------------------------- boilerplate removal (B52, r4)
+
+def _bp_docs(spark):
+    rows = [
+        (1, "COOKIE\nalpha\nbeta\nCOOKIE", "a"),
+        (2, "COOKIE\ngamma", "a"),
+        (3, "COOKIE\ndelta\nepsilon", "a"),
+        (4, "COOKIE", "b"),          # all-boilerplate doc (in group a runs)
+        (5, "zeta\nCOOKIE", "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_boilerplate_lines_threshold(spark):
+    from jsonschema_spark.operators.text import boilerplate_lines
+
+    df = _bp_docs(spark)
+    bp = boilerplate_lines(df, min_doc_frac=0.9)
+    assert {r["line"] for r in bp.collect()} == {"COOKIE"}  # 5/5 docs
+    bp2 = boilerplate_lines(df, min_doc_frac=0.3)
+    assert {r["line"] for r in bp2.collect()} == {"COOKIE"}  # next is 1/5
+    with pytest.raises(ValueError):
+        boilerplate_lines(df, min_doc_frac=0.0)
+
+
+def test_remove_boilerplate_preserves_order_and_empty_docs(spark):
+    from jsonschema_spark.operators.text import boilerplate_lines, remove_boilerplate
+
+    df = _bp_docs(spark)
+    bp = boilerplate_lines(df, min_doc_frac=0.9)
+    out = {r["doc_id"]: r for r in remove_boilerplate(df, bp).collect()}
+    assert len(out) == 5  # every doc survives
+    assert out[1]["text_clean"] == "alpha\nbeta"  # order kept, both COOKIEs gone
+    assert out[1]["n_lines_removed"] == 2 and out[1]["n_lines_kept"] == 2
+    assert out[4]["text_clean"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[5]["text_clean"] == "zeta"
+
+
+def test_remove_boilerplate_group_scoped(spark):
+    from jsonschema_spark.operators.text import boilerplate_lines, remove_boilerplate
+
+    df = _bp_docs(spark)
+    # per-source: COOKIE is 3/3 in a but 2/2 in b -> both qualify at 0.9;
+    # at 1.0 within-group both still qualify; make a group-divergent line:
+    df2 = df.union(df.sparkSession.createDataFrame(
+        [(6, "alpha\nonly-b", "b")], ["doc_id", "text", "source"]))
+    bp = boilerplate_lines(df2, min_doc_frac=0.6, group_col="source")
+    got = {(r["source"], r["line"]) for r in bp.collect()}
+    assert ("a", "COOKIE") in got and ("b", "COOKIE") in got
+    assert ("a", "alpha") not in got  # 1/3 in a
+    out = {r["doc_id"]: r["text_clean"]
+           for r in remove_boilerplate(df2, bp, group_col="source").collect()}
+    assert out[6] == "alpha\nonly-b"  # alpha is not boilerplate in group b
+
+
+def test_remove_boilerplate_strategies_agree_and_broadcast_plan(spark):
+    from jsonschema_spark.operators.text import boilerplate_lines, remove_boilerplate
+
+    df = _bp_docs(spark)
+    bp = boilerplate_lines(df, min_doc_frac=0.9)
+    a = remove_boilerplate(df, bp, strategy="broadcast")
+    b = remove_boilerplate(df, bp, strategy="shuffle")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    # broadcast path: line join builds on the small boilerplate side; the
+    # reassembly agg exchanges on doc_id (per-doc keys, never a global sort).
+    # (The 1-row _n_total count agg legitimately carries a SinglePartition
+    # exchange over two longs per partition — that is not a scale hazard.)
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "Sort" not in plan.split("== Initial Plan ==")[0]
+    with pytest.raises(ValueError):
+        remove_boilerplate(df, bp, strategy="nope")
+
+
+def test_remove_boilerplate_literal_metachar_separator(spark):
+    """line_sep is LITERAL: a regex metachar like '|' must not be
+    interpreted as alternation by the split."""
+    from jsonschema_spark.operators.text import boilerplate_lines, remove_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "AD|keep one|AD"), (2, "AD|other text")], ["doc_id", "text"])
+    bp = boilerplate_lines(df, min_doc_frac=0.9, line_sep="|")
+    assert {r["line"] for r in bp.collect()} == {"AD"}
+    out = {r["doc_id"]: r["text_clean"]
+           for r in remove_boilerplate(df, bp, line_sep="|").collect()}
+    assert out[1] == "keep one" and out[2] == "other text"
