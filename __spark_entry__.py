@@ -2701,18 +2701,53 @@ _FIDELITY_PHASH_CFG = dict(
 )
 
 
+# header-sniff twin fixture (B53, r4): keeps dup_phash plants OFF and the
+# header-relevant plants ON (orphan_fmt -> header-fmt, w_zero/h_big ->
+# header-dims or header-len), so the two halves of the carrier query have
+# disjoint, independently-verifiable expected sets.
+_HEADER_SNIFF_CFG = dict(
+    n=2000, n_parts=16, with_bytes=True,
+    rate_dup_id=0.0, rate_dup_phash=0.0, rate_orphan_license=0.0,
+    rate_null_caption=0.0, rate_bad_id=0.0,
+)
+
+
 def q_fidelity_phash_images(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-payload carrier (three legs, disjoint expected sets):
+    P1 decoded-pixel phash fidelity (passes/fidelity.py, Arrow-batched
+    decode of EVERY payload at this scale), P2 container-header sniff
+    (passes/headers.py, pure Column exprs — magic bytes, header dims,
+    raw-length contract, mislabeled fmt), P3 aspect-ratio bucket census
+    (operators/images.py, B54 — arg-min log-aspect assignment encoded as
+    keyword='aspect-census' rows, row_key='<bw>x<bh>', value='n=<count>').
+    Oracle: all three expected sets are replayed in pure Python from the
+    deterministic plant plan."""
     from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.operators.images import aspect_bucket_census
     from jsonschema_spark.passes.fidelity import fidelity_violations_phash
+    from jsonschema_spark.passes.headers import header_violations
 
     cfg = FX.FixtureConfig(**_FIDELITY_PHASH_CFG)
     fact = FX.generate_images_df(spark, cfg)
-    return fidelity_violations_phash(fact, fraction=1.0).select(
+    fid = fidelity_violations_phash(fact, fraction=1.0).select(
         "part_id", "row_key", "keyword", "path", "value")
+    hcfg = FX.FixtureConfig(**_HEADER_SNIFF_CFG)
+    hfact = FX.generate_images_df(spark, hcfg)
+    hv = header_violations(hfact)
+    census = aspect_bucket_census(hfact).select(
+        F.lit(None).cast("int").alias("part_id"),
+        F.format_string("%dx%d", "bucket_w", "bucket_h").alias("row_key"),
+        F.lit("aspect-census").alias("keyword"),
+        F.lit("/w,h").alias("path"),
+        F.format_string("n=%d", "n_images").alias("value"),
+    )
+    return fid.unionByName(hv).unionByName(census)
 
 
 def _sql_fidelity_phash_images() -> str:
     from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.operators.images import bucket_for_py
+    from jsonschema_spark.passes.headers import header_violations_py
 
     cfg = FX.FixtureConfig(**_FIDELITY_PHASH_CFG)
     plan = FX.build_plan(cfg)
@@ -2723,14 +2758,27 @@ def _sql_fidelity_phash_images() -> str:
         got = FX.phash64(FX.pixels_for(i, wi, hi))
         stored = FX.phash64(FX.pixels_for(j, wj, hj))
         if got != stored:
-            rows.append((i % cfg.n_parts, f"img-{i:012d}",
-                         f"stored={stored} recomputed={got}"))
+            rows.append((i % cfg.n_parts, f"img-{i:012d}", "fidelity",
+                         "/phash", f"stored={stored} recomputed={got}"))
+    hcfg = FX.FixtureConfig(**_HEADER_SNIFF_CFG)
+    hplan = FX.build_plan(hcfg)
+    census: dict[tuple[int, int], int] = {}
+    for i in range(hcfg.n):
+        r = FX.make_row(i, hcfg, hplan)
+        for kw, path, val in header_violations_py(r):
+            rows.append((r["part_id"], r["image_id"], kw, path, val))
+        b = bucket_for_py(r["w"], r["h"])
+        if b is not None:
+            census[b] = census.get(b, 0) + 1
+    for (bw, bh), cnt in sorted(census.items()):
+        rows.append((None, f"{bw}x{bh}", "aspect-census", "/w,h", f"n={cnt}"))
     if not rows:  # theoretical all-pairs-collide guard
         return ("SELECT CAST(NULL AS INT) AS part_id, CAST(NULL AS VARCHAR) AS row_key, "
                 "CAST(NULL AS VARCHAR) AS keyword, CAST(NULL AS VARCHAR) AS path, "
                 "CAST(NULL AS VARCHAR) AS value WHERE FALSE")
     values = ",\n".join(
-        f"({p}, '{rid}', 'fidelity', '/phash', '{val}')" for p, rid, val in rows)
+        f"({'NULL' if p is None else p}, '{rid}', '{kw}', '{path}', '{val}')"
+        for p, rid, kw, path, val in rows)
     return (f"SELECT CAST(part_id AS INT) AS part_id, row_key, keyword, path, value "
             f"FROM (VALUES {values}) AS t(part_id, row_key, keyword, path, value)")
 

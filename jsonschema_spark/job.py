@@ -130,6 +130,11 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
                     help="reference-table path for --fidelity-mode ref")
     ap.add_argument("--fidelity-nparts", type=int, default=16)
     ap.add_argument("--fidelity-driftpart", type=int, default=7)
+    ap.add_argument("--check-headers", action="store_true",
+                    help="add the container-header sniff pass (B53): magic "
+                         "bytes / header dims / raw byte-length checked "
+                         "against the declared fmt/w/h columns on EVERY row "
+                         "— pure Column exprs, no pixel decode")
     ap.add_argument("--scratch", default=None,
                     help="materialize the fused scan as a parquet scratch table "
                          "at this path instead of the SQL columnar cache "
@@ -228,6 +233,19 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
                 parts_fraction=pf, seed=fseed,
             )
 
+    headers_fn = None
+    if args.check_headers:
+        from .passes.headers import header_violations as _hv
+
+        need = {"bytes", "fmt", "w", "h"}
+        missing = need - set(fact.columns)
+        if missing:
+            raise SystemExit(
+                f"--check-headers needs columns {sorted(need)}; table is "
+                f"missing {sorted(missing)}")
+        headers_fn = lambda df: _hv(  # noqa: E731
+            df, key_col=args.key_col, part_col=args.part_col)
+
     res = validate_table(
         fact, spec, dims=dims, baseline=baseline,
         key_col=args.key_col, part_col=args.part_col, top_k=args.top_k,
@@ -236,6 +254,7 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> dic
         # partition, so P2 always scans the full table's key columns
         uniqueness_scope=fact_full,
         fidelity_fn=fidelity_fn,
+        headers_fn=headers_fn,
         fuse_scratch=args.scratch,
         with_quantiles=args.quantile_sketches,
         kll_k=args.kll_k,

@@ -31,7 +31,46 @@ _SUBSCHEMA_KEYS = ("not", "if", "then", "else", "contains", "propertyNames",
 def lint_spec(schema: dict[str, Any] | bool) -> list[Finding]:
     out: list[Finding] = []
     _walk(schema, "", out)
+    if isinstance(schema, dict):
+        _lint_refs(schema, out)
     return out
+
+
+def _lint_refs(root: dict[str, Any], out: list[Finding]) -> None:
+    """Every $ref/$dynamicRef must resolve (pointer, $anchor, or embedded
+    $id resource) BEFORE cluster time: an unresolvable ref is a parse-time
+    SpecError, i.e. a spec typo that would otherwise surface only when the
+    job is submitted. Resolution reuses the real parser helpers so lint and
+    parse can never disagree."""
+    from .spec import SpecError, _find_anchor, _resolve_id_ref, _resolve_pointer
+
+    refs: list[tuple[str, str, str]] = []  # (path, keyword, value)
+
+    def collect(node: Any, path: str) -> None:
+        if isinstance(node, dict):
+            for kw in ("$ref", "$dynamicRef"):
+                v = node.get(kw)
+                if isinstance(v, str):
+                    refs.append((path or "/", kw, v))
+            for k, v in node.items():
+                collect(v, f"{path}/{k}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                collect(v, f"{path}/{i}")
+
+    collect(root, "")
+    for path, kw, ptr in refs:
+        try:
+            if not ptr.startswith("#"):
+                _resolve_id_ref(ptr, root)
+            elif kw == "$dynamicRef" and not ptr[1:].startswith("/"):
+                if (_find_anchor(root, ptr[1:], key="$dynamicAnchor") is None
+                        and _find_anchor(root, ptr[1:]) is None):
+                    raise SpecError(f"unresolvable $dynamicRef: {ptr!r}")
+            else:
+                _resolve_pointer(root, ptr)
+        except SpecError as e:
+            out.append(("error", path, f"{kw} does not resolve: {e}"))
 
 
 def _walk(s: Any, path: str, out: list[Finding]) -> None:

@@ -201,6 +201,71 @@ def _resolve_pointer(doc: Any, pointer: str) -> Any:
     return cur
 
 
+def _build_id_registry(doc: Any, base: str = "", reg: dict[str, Any] | None = None) -> dict[str, Any]:
+    """Collect every embedded schema resource declared via ``$id`` (draft 6+)
+    or draft-4 ``id`` into a URI → subschema registry (d2020 §8.2.1 bundling).
+
+    Base-URI chaining follows the lexical nesting rule: a relative ``$id``
+    resolves against the nearest ancestor resource's id (RFC 3986 via
+    ``urljoin``). Each resource registers under BOTH its raw ``$id`` string
+    and its resolved absolute form, so ``{"$ref": "item.json"}`` and
+    ``{"$ref": "https://ex.com/item.json"}`` both hit a resource declared as
+    ``{"$id": "item.json"}`` under a root ``$id`` of ``https://ex.com/root``.
+    Fragment-only ids (``"#foo"``, legal in draft 4/6) are anchors, not
+    resources — they are already handled by ``_find_anchor`` and skipped here.
+    """
+    if reg is None:
+        reg = {}
+    if isinstance(doc, dict):
+        idv = doc.get("$id", doc.get("id"))
+        if isinstance(idv, str) and idv and not idv.startswith("#"):
+            from urllib.parse import urljoin
+
+            resolved = urljoin(base, idv) if base else idv
+            reg.setdefault(idv, doc)
+            reg.setdefault(resolved, doc)
+            base = resolved
+        for v in doc.values():
+            _build_id_registry(v, base, reg)
+    elif isinstance(doc, list):
+        for v in doc:
+            _build_id_registry(v, base, reg)
+    return reg
+
+
+def _resolve_id_ref(ptr: str, doc_root: dict[str, Any]) -> tuple[dict[str, Any], Any]:
+    """Resolve a non-fragment ``$ref`` (``"item.json"``, ``"urn:x"``,
+    ``"https://…/s.json#/a/b"``, ``"other.json#anchor"``) against the
+    same-document ``$id`` registry. Returns ``(resource, target)`` — the
+    embedded resource the base URI named (fragments inside the target must
+    resolve against it, not the whole document) and the final target
+    subschema. Raises SpecError when no embedded resource matches (true
+    cross-document retrieval is out of scope — the engine never fetches
+    URLs)."""
+    from urllib.parse import urljoin
+
+    base, _, frag = ptr.partition("#")
+    reg = _build_id_registry(doc_root)
+    root_id = doc_root.get("$id", doc_root.get("id", ""))
+    resource = reg.get(base)
+    if resource is None and isinstance(root_id, str) and root_id:
+        resource = reg.get(urljoin(root_id, base))
+        if resource is None and urljoin(root_id, base) == root_id.split("#")[0]:
+            resource = doc_root  # ref points back at the root resource itself
+    if resource is None:
+        raise SpecError(
+            f"unresolvable $ref {ptr!r}: no embedded $id matches and remote "
+            "retrieval is unsupported (same-document resolution only)")
+    if frag:
+        if frag.startswith("/"):
+            return resource, _resolve_pointer(resource, "#" + frag)
+        hit = _find_anchor(resource, frag)
+        if hit is None:
+            raise SpecError(f"unresolvable anchor {frag!r} inside $id resource {base!r}")
+        return resource, hit
+    return resource, resource
+
+
 def parse(schema: dict[str, Any] | bool) -> Spec:
     """Parse a full spec document (root schema + optional x-table-checks)."""
     if schema is True:
@@ -257,20 +322,27 @@ def parse_node(schema: dict[str, Any] | bool) -> SpecNode:
     return _parse_node(schema, schema, depth=0, ref_stack=())
 
 
-def _sub(v: Any, root: dict, depth: int, ref_stack: tuple[str, ...] = ()) -> SpecNode:
+def _sub(v: Any, root: dict, depth: int, ref_stack: tuple[str, ...] = (),
+         doc_root: dict | None = None) -> SpecNode:
     if v is True:
         return SpecNode()
     if v is False:
         return SpecNode(not_=SpecNode())
     if not isinstance(v, dict):
         raise SpecError(f"subschema must be an object/bool, got {v!r}")
-    return _parse_node(v, root, depth, ref_stack)
+    return _parse_node(v, root, depth, ref_stack, doc_root)
 
 
 def _parse_node(
     s: dict[str, Any], root: dict[str, Any], depth: int,
     ref_stack: tuple[str, ...] = (),
+    doc_root: dict[str, Any] | None = None,
 ) -> SpecNode:
+    # ``root`` is the CURRENT RESOURCE root (pointer/anchor fragments resolve
+    # against it); ``doc_root`` is the whole document (the $id registry spans
+    # it). They differ only after a $ref crossed into an embedded $id resource.
+    if doc_root is None:
+        doc_root = root
     if depth > MAX_REF_DEPTH:
         raise SpecError(f"$ref nesting exceeds depth cap {MAX_REF_DEPTH}")
 
@@ -289,7 +361,14 @@ def _parse_node(
         ptr = s.get("$ref", s.get("$dynamicRef"))
         if ref_stack.count(ptr) >= RECURSIVE_UNROLL:
             return SpecNode()
-        if "$ref" not in s and ptr.startswith("#") and not ptr[1:].startswith("/"):
+        new_root = root
+        if not ptr.startswith("#"):
+            # non-fragment ref: resolve via the same-document $id registry
+            # (d2020 §8.2.1 bundled resources, A42); subsequent fragments
+            # inside the target resolve against THAT resource, not the
+            # whole document, so the resource becomes the new root.
+            new_root, target = _resolve_id_ref(ptr, doc_root)
+        elif "$ref" not in s and not ptr[1:].startswith("/"):
             target = _find_anchor(root, ptr[1:], key="$dynamicAnchor")
             if target is None:  # no dynamic anchor anywhere: plain-$ref fallback
                 target = _resolve_pointer(root, ptr)
@@ -298,8 +377,12 @@ def _parse_node(
         merged = {k: v for k, v in s.items() if k not in ("$ref", "$dynamicRef")}
         if isinstance(target, dict):
             for k, v in target.items():
+                # the target's own $id must not re-register the merged node
+                # as a resource (it would shadow the real one in reports)
+                if k in ("$id", "id"):
+                    continue
                 merged.setdefault(k, v)
-        return _parse_node(merged, root, depth + 1, ref_stack + (ptr,))
+        return _parse_node(merged, new_root, depth + 1, ref_stack + (ptr,), doc_root)
 
     kw: dict[str, Any] = {}
     meta = {k: s[k] for k in METADATA_KEYWORDS & s.keys() if k != "x-table-checks"}
@@ -315,7 +398,7 @@ def _parse_node(
                 if isinstance(x, str):
                     alts.append(SpecNode(type=_as_tuple_of_types(x)))
                 else:
-                    alts.append(_sub(x, root, depth + 1, ref_stack))
+                    alts.append(_sub(x, root, depth + 1, ref_stack, doc_root))
             kw["any_of"] = tuple(alts) + (kw.get("any_of") or ())
         else:
             kw["type"] = _as_tuple_of_types(tv)
@@ -361,23 +444,23 @@ def _parse_node(
         pi = s["prefixItems"]
         if not isinstance(pi, list):
             raise SpecError(f"prefixItems must be an array, got {pi!r}")
-        kw["tuple_items"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in pi)
+        kw["tuple_items"] = tuple(_sub(x, root, depth + 1, ref_stack, doc_root) for x in pi)
         if "items" in s:
             it = s["items"]
             kw["additional_items"] = (
-                it if isinstance(it, bool) else _sub(it, root, depth + 1, ref_stack))
+                it if isinstance(it, bool) else _sub(it, root, depth + 1, ref_stack, doc_root))
     elif "items" in s:
         it = s["items"]
         if isinstance(it, list):
-            kw["tuple_items"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in it)
+            kw["tuple_items"] = tuple(_sub(x, root, depth + 1, ref_stack, doc_root) for x in it)
         else:
-            kw["items"] = _sub(it, root, depth + 1, ref_stack)
+            kw["items"] = _sub(it, root, depth + 1, ref_stack, doc_root)
     if "additionalItems" in s and "prefixItems" not in s:
         # d2020 removed additionalItems; alongside prefixItems the sibling
         # `items` above already owns the tail, so a stray additionalItems is
         # ignored exactly as the 2020-12 core spec prescribes.
         ai = s["additionalItems"]
-        kw["additional_items"] = ai if isinstance(ai, bool) else _sub(ai, root, depth + 1, ref_stack)
+        kw["additional_items"] = ai if isinstance(ai, bool) else _sub(ai, root, depth + 1, ref_stack, doc_root)
     if "minItems" in s:
         kw["min_items"] = int(s["minItems"])
     if "maxItems" in s:
@@ -385,7 +468,7 @@ def _parse_node(
     if "uniqueItems" in s:
         kw["unique_items"] = bool(s["uniqueItems"])
     if "contains" in s:
-        kw["contains"] = _sub(s["contains"], root, depth + 1, ref_stack)
+        kw["contains"] = _sub(s["contains"], root, depth + 1, ref_stack, doc_root)
     if "minContains" in s:
         kw["min_contains"] = int(s["minContains"])
     if "maxContains" in s:
@@ -397,14 +480,14 @@ def _parse_node(
         else:
             kw["required"] = tuple(rq)
     if "properties" in s:
-        kw["properties"] = {k: _sub(v, root, depth + 1, ref_stack) for k, v in s["properties"].items()}
+        kw["properties"] = {k: _sub(v, root, depth + 1, ref_stack, doc_root) for k, v in s["properties"].items()}
     if "patternProperties" in s:
         for p in s["patternProperties"]:
             re.compile(p)
-        kw["pattern_properties"] = {k: _sub(v, root, depth + 1, ref_stack) for k, v in s["patternProperties"].items()}
+        kw["pattern_properties"] = {k: _sub(v, root, depth + 1, ref_stack, doc_root) for k, v in s["patternProperties"].items()}
     if "additionalProperties" in s:
         ap = s["additionalProperties"]
-        kw["additional_properties"] = ap if isinstance(ap, bool) else _sub(ap, root, depth + 1, ref_stack)
+        kw["additional_properties"] = ap if isinstance(ap, bool) else _sub(ap, root, depth + 1, ref_stack, doc_root)
     if "minProperties" in s:
         kw["min_properties"] = int(s["minProperties"])
     if "maxProperties" in s:
@@ -437,34 +520,34 @@ def _parse_node(
                 if names:
                     schemas.append({"required": names})
                 merged = schemas[0] if len(schemas) == 1 else {"allOf": schemas}
-                deps[name] = _sub(merged, root, depth + 1, ref_stack)
+                deps[name] = _sub(merged, root, depth + 1, ref_stack, doc_root)
         kw["dependencies"] = deps
     if "allOf" in s or "extends" in s:     # d3 extends ≙ allOf (A18)
         ext = s.get("allOf", s.get("extends"))
         if isinstance(ext, dict):
             ext = [ext]
-        kw["all_of"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in ext)
+        kw["all_of"] = tuple(_sub(x, root, depth + 1, ref_stack, doc_root) for x in ext)
     if "anyOf" in s:
-        kw["any_of"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in s["anyOf"]) + (kw.get("any_of") or ())
+        kw["any_of"] = tuple(_sub(x, root, depth + 1, ref_stack, doc_root) for x in s["anyOf"]) + (kw.get("any_of") or ())
     if "oneOf" in s:
-        kw["one_of"] = tuple(_sub(x, root, depth + 1, ref_stack) for x in s["oneOf"])
+        kw["one_of"] = tuple(_sub(x, root, depth + 1, ref_stack, doc_root) for x in s["oneOf"])
     if "not" in s:
-        kw["not_"] = _sub(s["not"], root, depth + 1, ref_stack)
+        kw["not_"] = _sub(s["not"], root, depth + 1, ref_stack, doc_root)
     # draft-7 conditionals: then/else are inert without if (spec §6.6)
     if "if" in s:
-        kw["if_"] = _sub(s["if"], root, depth + 1, ref_stack)
+        kw["if_"] = _sub(s["if"], root, depth + 1, ref_stack, doc_root)
         if "then" in s:
-            kw["then_"] = _sub(s["then"], root, depth + 1, ref_stack)
+            kw["then_"] = _sub(s["then"], root, depth + 1, ref_stack, doc_root)
         if "else" in s:
-            kw["else_"] = _sub(s["else"], root, depth + 1, ref_stack)
+            kw["else_"] = _sub(s["else"], root, depth + 1, ref_stack, doc_root)
     if "propertyNames" in s:
-        kw["property_names"] = _sub(s["propertyNames"], root, depth + 1, ref_stack)
+        kw["property_names"] = _sub(s["propertyNames"], root, depth + 1, ref_stack, doc_root)
     if "unevaluatedProperties" in s:
         up = s["unevaluatedProperties"]
-        kw["unevaluated_properties"] = up if isinstance(up, bool) else _sub(up, root, depth + 1, ref_stack)
+        kw["unevaluated_properties"] = up if isinstance(up, bool) else _sub(up, root, depth + 1, ref_stack, doc_root)
     if "unevaluatedItems" in s:
         ui = s["unevaluatedItems"]
-        kw["unevaluated_items"] = ui if isinstance(ui, bool) else _sub(ui, root, depth + 1, ref_stack)
+        kw["unevaluated_items"] = ui if isinstance(ui, bool) else _sub(ui, root, depth + 1, ref_stack, doc_root)
     if "contentEncoding" in s:
         kw["content_encoding"] = s["contentEncoding"]
     if "contentMediaType" in s:
@@ -472,13 +555,13 @@ def _parse_node(
     if "contentSchema" in s and s.get("contentMediaType") == "application/json":
         # d2019 §8.5: contentSchema only applies alongside contentMediaType;
         # JSON is the one media type whose decoded form we can re-validate
-        kw["content_schema"] = _sub(s["contentSchema"], root, depth + 1, ref_stack)
+        kw["content_schema"] = _sub(s["contentSchema"], root, depth + 1, ref_stack, doc_root)
     if "disallow" in s:                    # d3 §5.25: type name | schema | list
         dv = s["disallow"]
         if not isinstance(dv, list):
             dv = [dv]
         kw["disallow"] = tuple(
-            x if isinstance(x, str) else _sub(x, root, depth + 1, ref_stack) for x in dv
+            x if isinstance(x, str) else _sub(x, root, depth + 1, ref_stack, doc_root) for x in dv
         )
     if "format" in s:
         kw["format"] = s["format"]

@@ -320,3 +320,291 @@ def test_remove_boilerplate_literal_metachar_separator(spark):
     out = {r["doc_id"]: r["text_clean"]
            for r in remove_boilerplate(df, bp, line_sep="|").collect()}
     assert out[1] == "keep one" and out[2] == "other text"
+
+
+# ------------------------------------------- header-sniff pass (B53, r4)
+
+def _header_fixture_cfg():
+    from jsonschema_spark import fixtures as FX
+
+    return FX.FixtureConfig(
+        n=600, n_parts=8, with_bytes=True,
+        rate_dup_id=0.0, rate_dup_phash=0.0, rate_orphan_license=0.0,
+        rate_null_caption=0.0, rate_bad_id=0.0,
+        rate_orphan_fmt=60 / 10_000, rate_w_zero=60 / 10_000,
+        rate_h_big=60 / 10_000,
+    )
+
+
+def test_header_violations_matches_python_twin(spark):
+    """Spark Column-expression pass == pure-Python byte-level twin, tuple for
+    tuple, over a fixture planting all three header-violation families."""
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.passes.headers import header_violations, header_violations_py
+
+    cfg = _header_fixture_cfg()
+    fact = FX.generate_images_df(spark, cfg)
+    got = {tuple(r) for r in header_violations(fact).collect()}
+    plan = FX.build_plan(cfg)
+    want = set()
+    for i in range(cfg.n):
+        r = FX.make_row(i, cfg, plan)
+        for kw, path, val in header_violations_py(r):
+            want.add((r["part_id"], r["image_id"], kw, path, val))
+    assert got == want
+    kinds = {t[2] for t in want}
+    assert {"header-dims", "header-fmt"} <= kinds  # plants actually bite
+
+
+def test_header_violations_families(spark):
+    """Hand-built rows: one clean per format, one of each violation kind."""
+    from jsonschema_spark.functions import imagecodecs as C
+    import numpy as np
+    from jsonschema_spark.passes.headers import header_violations
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    rows = [
+        ("ok-png", C.png_encode(px), 6, 4, "png", 0),
+        ("ok-bmp", C.bmp_encode(px), 6, 4, "bmp", 0),
+        ("ok-raw", C.raw_encode(px), 6, 4, "raw", 0),
+        ("bad-magic", C.bmp_encode(px), 6, 4, "png", 1),
+        ("bad-dims", C.png_encode(px), 7, 4, "png", 1),
+        ("bad-len", C.raw_encode(px), 6, 5, "raw", 1),
+        ("bad-fmt", C.png_encode(px), 6, 4, "webp", 1),
+        ("null-bytes", None, 6, 4, "png", 1),      # skipped: rows pass owns nulls
+        ("exotic-raw", C.raw_encode(px), 6, 4, "jpeg", 1),  # raw payload: unsniffable
+    ]
+    df = spark.createDataFrame(
+        [(k, b, w, h, f, p) for k, b, w, h, f, p in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, part_id int")
+    got = {r["row_key"]: r["keyword"] for r in header_violations(df).collect()}
+    assert got == {
+        "bad-magic": "header-magic",
+        "bad-dims": "header-dims",
+        "bad-len": "header-len",
+        "bad-fmt": "header-fmt",
+    }
+
+
+def test_header_violations_plan_is_scan_side(spark):
+    """One narrow projection: no Exchange, no UDF, whole-stage codegen."""
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.passes.headers import header_violations
+
+    fact = FX.generate_images_df(spark, _header_fixture_cfg())
+    plan = header_violations(fact)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_job_check_headers_flag(spark, tmp_path):
+    """CLI --check-headers adds the headers pass: violations + verdicts land
+    under pass_id=headers and the summary counts its failed checks."""
+    import json as _json
+    import subprocess, sys, os
+
+    from jsonschema_spark import fixtures as FX
+
+    tbl = str(tmp_path / "tbl")
+    FX.generate_images_df(spark, _header_fixture_cfg()).write.parquet(tbl)
+    specp = tmp_path / "spec.json"
+    specp.write_text(_json.dumps({
+        "type": "object",
+        "properties": {"image_id": {"type": "string"}, "fmt": {"type": "string"}},
+    }))
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "jsonschema_spark.job",
+         "--table", tbl, "--spec", str(specp),
+         "--manifest", str(tmp_path / "man"), "--out", str(tmp_path / "out"),
+         "--parallelism", "4", "--check-headers"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = _json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["status"] == "ok"
+    assert summary["n_failed_checks"].get("headers", 0) > 0
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM parquet_scan('{tmp_path}/out/violations/*/*/*.parquet', "
+        "hive_partitioning=1) WHERE pass_id='headers'").fetchone()[0]
+    assert n > 0
+
+
+# --------------------------------------- aspect-ratio bucketing (r4)
+
+def test_assign_aspect_buckets_against_duckdb_twin(spark):
+    """Arg-min bucket assignment == a DuckDB window-function twin over the
+    same bucket ladder (in-test oracle, same pattern as the r3 KLL twins)."""
+    import duckdb
+
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.operators.images import DEFAULT_BUCKETS, assign_aspect_buckets
+
+    # dup_id plants off: both sides key by image_id, so ids must be unique
+    cfg = FX.FixtureConfig(n=400, n_parts=8, with_bytes=False,
+                           rate_dup_id=0.0)
+    fact = FX.generate_images_df(spark, cfg)
+    got = {
+        r["image_id"]: (r["bucket_w"], r["bucket_h"])
+        for r in assign_aspect_buckets(fact).collect()
+    }
+    pdf = fact.select("image_id", "w", "h").toPandas()
+    bucket_values = ", ".join(f"({bw}, {bh})" for bw, bh in DEFAULT_BUCKETS)
+    want_rows = duckdb.sql(f"""
+        WITH b(bw, bh) AS (VALUES {bucket_values}),
+        d AS (
+          SELECT image_id, bw, bh,
+                 row_number() OVER (
+                   PARTITION BY image_id
+                   ORDER BY abs(ln(w*1.0/h) - ln(bw*1.0/bh)), bw) AS rk
+          FROM pdf CROSS JOIN b WHERE w > 0 AND h > 0
+        )
+        SELECT image_id, bw, bh FROM d WHERE rk = 1
+    """).fetchall()
+    want = {rid: (bw, bh) for rid, bw, bh in want_rows}
+    # rows with invalid dims (w=0 / h plants) must be NULL-bucketed
+    for rid, (bw, bh) in got.items():
+        if rid not in want:
+            assert bw is None and bh is None
+        else:
+            assert (bw, bh) == want[rid], rid
+    assert len(want) > 300 and set(want) <= set(got)
+
+
+def test_aspect_bucket_census_and_plan(spark):
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.operators.images import (
+        aspect_bucket_census, assign_aspect_buckets)
+
+    cfg = FX.FixtureConfig(n=400, n_parts=8, with_bytes=False, plants=False)
+    fact = FX.generate_images_df(spark, cfg)
+    census = aspect_bucket_census(fact)
+    rows = census.collect()
+    assert sum(r["n_images"] for r in rows) == 400
+    assert all(r["avg_dist"] >= 0 for r in rows)
+    # assignment itself is scan-side: no exchange, no python
+    plan = assign_aspect_buckets(fact)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    # custom ladder + validation
+    sq = aspect_bucket_census(fact, buckets=((512, 512),)).collect()
+    assert len(sq) == 1 and sq[0]["n_images"] == 400
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        assign_aspect_buckets(fact, buckets=())
+
+
+def test_header_violations_streaming(spark, tmp_path):
+    """B53 is stateless Column exprs, so it runs unchanged on a streaming
+    DataFrame — the ingestion-time shape a 10^12-row pipeline validates
+    payload headers in (no batch rescan)."""
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.passes.headers import header_violations, header_violations_py
+
+    cfg = _header_fixture_cfg()
+    src = str(tmp_path / "src")
+    FX.generate_images_df(spark, cfg).write.parquet(src)
+    stream = spark.readStream.schema(FX.IMAGES_DDL).parquet(src)
+    q = (header_violations(stream)
+         .writeStream.format("memory").queryName("hdr_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM hdr_stream").collect()}
+    plan = FX.build_plan(cfg)
+    want = set()
+    for i in range(cfg.n):
+        r = FX.make_row(i, cfg, plan)
+        for kw, path, val in header_violations_py(r):
+            want.add((r["part_id"], r["image_id"], kw, path, val))
+    assert got == want and len(want) > 0
+
+
+# --------------------------------------- lint: unresolvable refs (r4)
+
+def test_lint_flags_unresolvable_refs():
+    from jsonschema_spark.lint import lint_spec
+
+    bad = {"properties": {
+        "a": {"$ref": "#/$defs/missing"},
+        "b": {"$ref": "https://nowhere.example/x"},
+        "c": {"$dynamicRef": "#nope"},
+    }}
+    errs = {(sev, path) for sev, path, _ in lint_spec(bad)}
+    assert ("error", "/properties/a") in errs
+    assert ("error", "/properties/b") in errs
+    assert ("error", "/properties/c") in errs
+
+
+def test_lint_accepts_id_registry_refs():
+    from jsonschema_spark.lint import lint_spec
+
+    ok = {"$id": "https://e/r",
+          "properties": {"a": {"$ref": "x.json"},
+                         "b": {"$ref": "#/$defs/n"},
+                         "c": {"$ref": "x.json#leaf"}},
+          "$defs": {"x": {"$id": "x.json",
+                          "$defs": {"l": {"$anchor": "leaf"}}},
+                    "n": {"type": "integer"}}}
+    assert lint_spec(ok) == []
+
+
+# --------------------------------- aspect-ratio bucketing (B54, r4)
+
+def _py_bucket(w: int, h: int, buckets):
+    """Python twin of operators/images._bucket_expr: arg-min of
+    |log(w/h) - log(bw/bh)|, ties by bucket width (struct sort order)."""
+    import math
+
+    ar = math.log(w / h)
+    return min(buckets, key=lambda b: (abs(ar - math.log(b[0] / b[1])), b[0]))
+
+
+def test_assign_aspect_buckets_known_rows(spark):
+    from jsonschema_spark.operators.images import assign_aspect_buckets
+
+    df = spark.createDataFrame(
+        [("sq", 1000, 1000), ("wide", 2000, 500), ("tall", 500, 2000),
+         ("zero", 0, 5), ("nullw", None, 7)],
+        "image_id string, w int, h int")
+    got = {r["image_id"]: (r["bucket_w"], r["bucket_h"])
+           for r in assign_aspect_buckets(df).collect()}
+    assert got["sq"] == (1024, 1024)
+    assert got["wide"] == (2048, 512)
+    assert got["tall"] == (512, 2048)
+    assert got["zero"] == (None, None)
+    assert got["nullw"] == (None, None)
+
+
+def test_aspect_census_matches_python_twin(spark):
+    """Spark census == Python replay of the deterministic fixture, bucket
+    for bucket (counts exact; float means to 4 decimals)."""
+    from collections import Counter
+
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.operators.images import (
+        DEFAULT_BUCKETS, aspect_bucket_census)
+
+    cfg = FX.FixtureConfig(n=800, n_parts=8, with_bytes=False)
+    plan = FX.build_plan(cfg)
+    want = Counter()
+    for i in range(cfg.n):
+        r = FX.make_row(i, cfg, plan)
+        if r["w"] and r["h"] and r["w"] > 0 and r["h"] > 0:
+            want[_py_bucket(r["w"], r["h"], DEFAULT_BUCKETS)] += 1
+    fact = FX.generate_images_df(spark, cfg)
+    got = {(r["bucket_w"], r["bucket_h"]): r["n_images"]
+           for r in aspect_bucket_census(fact).collect()}
+    assert got == dict(want) and sum(got.values()) > 0
+
+
+def test_assign_aspect_buckets_plan_scan_side(spark):
+    """Scan-side projection: no Exchange, no Python eval in the plan."""
+    from jsonschema_spark import fixtures as FX
+    from jsonschema_spark.operators.images import assign_aspect_buckets
+
+    df = spark.createDataFrame([("a", 640, 480)], "image_id string, w int, h int")
+    plan = assign_aspect_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -86,11 +86,28 @@ def main() -> None:
     ap.add_argument("--n-images", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES",
                                                "32000000")))
+    ap.add_argument("--resume-log", default=None,
+                    help="seed completed rounds from a prior run's log "
+                         "(its '[run_scaling] round N: {...}' lines), so "
+                         "the protocol can pause at a round boundary — e.g. "
+                         "to keep the host quiet for other work — and "
+                         "continue without discarding evidence")
     args = ap.parse_args()
 
     rounds: list[dict] = []
     n_clean = 0
-    for i in range(args.max_rounds):
+    if args.resume_log:
+        import ast
+
+        with open(args.resume_log) as f:
+            for line in f:
+                if "] round " in line and ": {" in line:
+                    rd = ast.literal_eval(line.split(": ", 1)[1].strip())
+                    rounds.append(rd)
+                    n_clean += bool(rd["clean"])
+        print(f"[run_scaling] resumed {len(rounds)} rounds "
+              f"({n_clean} clean) from {args.resume_log}", flush=True)
+    for i in range(len(rounds), args.max_rounds):
         print(f"[run_scaling] === round {i + 1}/{args.max_rounds} "
               f"(clean so far: {n_clean}/{args.clean_rounds}) ===", flush=True)
         s = run_level_once(args.small, args.n_images)
