@@ -57,6 +57,26 @@ def partition_profile(
     )
 
 
+def profile_from_wide(wide: DataFrame, exprs: list[str]) -> DataFrame:
+    """Derive the (part_id, n_rows, column, metric, value) profile from a
+    ``stats.partition_wide_agg(..., anomaly_exprs=exprs)`` result — the
+    fused path: P6 then costs zero extra fact-table aggregations (the wide
+    agg is partitions-scale and persisted by the engine). Output is
+    identical to ``partition_profile`` on the same input."""
+    entries = []
+    for i, c in enumerate(exprs):
+        entries.append(F.struct(
+            F.lit(c).alias("column"), F.lit("mean").alias("metric"),
+            F.col(f"__a{i}_mean").alias("value")))
+        entries.append(F.struct(
+            F.lit(c).alias("column"), F.lit("null_rate").alias("metric"),
+            F.col(f"__a{i}_nullrate").alias("value")))
+    return (
+        wide.select("part_id", "n_rows", F.explode(F.array(*entries)).alias("e"))
+        .select("part_id", "n_rows", "e.column", "e.metric", "e.value")
+    )
+
+
 def anomaly_flags(profile: DataFrame, z_max: float = 3.5) -> DataFrame:
     """Robust z-score per (part_id, column, metric) against the partition
     population: z = (value − median) / (MAD_SIGMA × MAD). Partitions with

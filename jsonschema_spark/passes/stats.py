@@ -81,6 +81,99 @@ _NUMERIC_TYPENAMES = (
 )
 
 
+def numeric_columns(df: DataFrame, columns: list[str]) -> set[str]:
+    return {
+        c for c in columns
+        if df.schema[c].dataType.typeName().startswith(_NUMERIC_TYPENAMES)
+    }
+
+
+def partition_wide_agg(
+    df: DataFrame,
+    columns: list[str],
+    part_col: str = "part_id",
+    with_sketches: bool = True,
+    with_quantiles: bool = False,
+    kll_k: int = 200,
+    anomaly_exprs: tuple[str, ...] = (),
+) -> DataFrame:
+    """THE per-partition aggregation: one ``groupBy(part)`` hash agg
+    computing the stats-pass state for every spec'd column and, when
+    ``anomaly_exprs`` is non-empty, the partition-anomaly profile
+    (mean + null-rate per expression, ``__a{i}_mean``/``__a{i}_nullrate``
+    columns) in the SAME pass — the stats sink, the quantile/distinct/
+    null-rate check families, and P6 all derive from this one result, so
+    the fact table is aggregated exactly once for all of them (at 32M rows
+    the un-fused form ran three ~300-600 task-second ObjectHashAggregate
+    stages per suite, each re-exchanging ~277 MB of partial sketch state).
+
+    Output: one row per partition; the caller persists it (partitions ×
+    columns scale, independent of row count) and projects the long stats
+    shape via ``stats_long`` / the anomaly profile via
+    ``anomaly.profile_from_wide``."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    numeric = numeric_columns(df, columns)
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        aggs.append(F.approx_count_distinct(col).alias(f"{c}__dist"))
+        if with_sketches:
+            # hll_sketch_agg natively supports int/long/string/binary — pass
+            # those through unchanged (a cast("string") on an int column
+            # allocates a UTF8String per CELL: measured GC churn at 32
+            # cores); only unsupported types (double, date, ...) cast.
+            dt = df.schema[c].dataType.typeName()
+            sk = col if dt in ("integer", "long", "string") else col.cast("string")
+            aggs.append(F.hll_sketch_agg(sk).alias(f"{c}__hll"))
+        if with_quantiles and c in numeric:
+            aggs.append(
+                F.kll_sketch_agg_double(col.cast("double"), F.lit(kll_k))
+                .alias(f"{c}__kll"))
+    for i, e in enumerate(anomaly_exprs):
+        v = F.expr(e)
+        aggs.append(F.avg(v.cast("double")).alias(f"__a{i}_mean"))
+        aggs.append(F.avg(v.isNull().cast("double")).alias(f"__a{i}_nullrate"))
+    # no pre-select: anomaly expressions may reference any input column;
+    # Catalyst column-prunes the scan to exactly the referenced set (the
+    # single-HashAggregate plan assert pins this)
+    return df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+
+
+def stats_long(
+    wide: DataFrame,
+    columns: list[str],
+    numeric: set[str],
+    with_sketches: bool = True,
+    with_quantiles: bool = False,
+) -> DataFrame:
+    """Project ``partition_wide_agg`` output to the stats-sink long format:
+    part_id, column, n_rows, n_nulls, min_val, max_val, n_distinct_approx,
+    hll_sketch[, kll_sketch]."""
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__dist").alias("n_distinct_approx"),
+            (F.col(f"{c}__hll") if with_sketches else F.lit(None).cast("binary")).alias("hll_sketch"),
+            *([(F.col(f"{c}__kll") if c in numeric else F.lit(None).cast("binary")).alias("kll_sketch")]
+              if with_quantiles else []),
+        )
+        for c in columns
+    ]
+    out_cols = [
+        "part_id", "s.column", "n_rows", "s.n_nulls", "s.min_val", "s.max_val",
+        "s.n_distinct_approx", "s.hll_sketch",
+    ] + (["s.kll_sketch"] if with_quantiles else [])
+    return (
+        wide.select("part_id", "n_rows", F.explode(F.array(*structs)).alias("s"))
+        .select(*out_cols)
+    )
+
+
 def column_stats(
     df: DataFrame,
     columns: list[str],
@@ -103,55 +196,14 @@ def column_stats(
     values (no compaction yet) and carries the published ~1.65%/k=200 rank
     error beyond; raise ``kll_k`` for tighter tails. Opt-in so existing
     stats-sink schemas are unchanged.
-    """
-    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
-    numeric = {
-        c for c in columns
-        if df.schema[c].dataType.typeName().startswith(_NUMERIC_TYPENAMES)
-    }
-    for c in columns:
-        col = F.col(c)
-        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
-        aggs.append(F.approx_count_distinct(col).alias(f"{c}__dist"))
-        if with_sketches:
-            # hll_sketch_agg natively supports int/long/string/binary — pass
-            # those through unchanged (a cast("string") on an int column
-            # allocates a UTF8String per CELL: measured GC churn at 32
-            # cores); only unsupported types (double, date, ...) cast.
-            dt = df.schema[c].dataType.typeName()
-            sk = col if dt in ("integer", "long", "string") else col.cast("string")
-            aggs.append(F.hll_sketch_agg(sk).alias(f"{c}__hll"))
-        if with_quantiles and c in numeric:
-            aggs.append(
-                F.kll_sketch_agg_double(col.cast("double"), F.lit(kll_k))
-                .alias(f"{c}__kll"))
 
-    wide = df.select(part_col, *columns).groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
-
-    # unpivot to long — one struct per column, then explode (still JVM-side)
-    structs = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__min").alias("min_val"),
-            F.col(f"{c}__max").alias("max_val"),
-            F.col(f"{c}__dist").alias("n_distinct_approx"),
-            (F.col(f"{c}__hll") if with_sketches else F.lit(None).cast("binary")).alias("hll_sketch"),
-            *([(F.col(f"{c}__kll") if c in numeric else F.lit(None).cast("binary")).alias("kll_sketch")]
-              if with_quantiles else []),
-        )
-        for c in columns
-    ]
-    out_cols = [
-        "part_id", "s.column", "n_rows", "s.n_nulls", "s.min_val", "s.max_val",
-        "s.n_distinct_approx", "s.hll_sketch",
-    ] + (["s.kll_sketch"] if with_quantiles else [])
-    return (
-        wide.select("part_id", "n_rows", F.explode(F.array(*structs)).alias("s"))
-        .select(*out_cols)
-    )
+    Composition of ``partition_wide_agg`` + ``stats_long``; the engine calls
+    those directly so the anomaly pass can share the same aggregation."""
+    wide = partition_wide_agg(
+        df.select(part_col, *columns), columns, part_col=part_col,
+        with_sketches=with_sketches, with_quantiles=with_quantiles, kll_k=kll_k)
+    return stats_long(wide, columns, numeric_columns(df, columns),
+                      with_sketches=with_sketches, with_quantiles=with_quantiles)
 
 
 def merge_quantiles(

@@ -45,6 +45,65 @@ def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
 
 
+def _read_busy_total() -> tuple[int, int]:
+    """(busy_ticks, total_ticks) from the host-wide /proc/stat cpu line.
+    busy = user+nice+system+irq+softirq (excludes idle, iowait, steal)."""
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    busy = v[0] + v[1] + v[2] + (v[5] if len(v) > 5 else 0) + (v[6] if len(v) > 6 else 0)
+    return busy, sum(v)
+
+
+def _tree_ticks() -> int:
+    """Total utime+stime ticks of THIS process's subtree (self + the JVM +
+    any python workers). /proc/<pid>/stat comm may contain spaces — parse
+    after the last ')'."""
+    me = os.getpid()
+    stats: dict[int, tuple[int, int]] = {}  # pid -> (ppid, ticks)
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        rest = raw[raw.rfind(")") + 2:].split()
+        # rest[0]=state, rest[1]=ppid, rest[11]=utime, rest[12]=stime
+        stats[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, todo = 0, [me]
+    while todo:
+        p = todo.pop()
+        total += stats.get(p, (0, 0))[1]
+        todo.extend(kids.get(p, ()))
+    return total
+
+
+def read_load() -> tuple[int, int, int]:
+    """Snapshot (host_busy_ticks, host_total_ticks, own_tree_ticks)."""
+    busy, total = _read_busy_total()
+    return busy, total, _tree_ticks()
+
+
+def other_load_pct(before: tuple[int, int, int],
+                   after: tuple[int, int, int]) -> float:
+    """CPU consumed by processes OUTSIDE this benchmark's process tree during
+    the interval, as %% of total host capacity. This catches SELF-inflicted
+    contamination (another pytest/Spark run on the same box) that the
+    hypervisor steal counter cannot see — a round-4 `clean` row was corrupted
+    exactly this way. Short-lived intruders that exit mid-run still appear:
+    host busy ticks include them even after their /proc entries vanish,
+    while the tree sum only counts the (stable) benchmark JVM+driver."""
+    d_total = after[1] - before[1]
+    if d_total <= 0:
+        return 0.0
+    d_other = (after[0] - before[0]) - (after[2] - before[2])
+    return round(max(0.0, 100.0 * d_other / d_total), 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
@@ -150,11 +209,12 @@ def main() -> None:
 
     for _ in range(args.warmups):  # JIT/codegen warm-up, discarded
         one_run()
-    runs, steals = [], []
+    runs, steals, others = [], [], []
     for _ in range(args.runs):
-        s0 = read_steal()
+        s0, l0 = read_steal(), read_load()
         runs.append(round(one_run(), 2))
         steals.append(steal_pct(s0, read_steal()))
+        others.append(other_load_pct(l0, read_load()))
     med = statistics.median(runs)
 
     # Platform calibration: a trivially-parallel scan+hash over the SAME
@@ -182,23 +242,26 @@ def main() -> None:
         return time.time() - t0
 
     calib(999, 1)  # JIT/codegen warm-up (shape, not duration)
-    calib_runs, calib_steals = [], []
+    calib_runs, calib_steals, calib_others = [], [], []
     for i in range(args.runs):
-        s0 = read_steal()
+        s0, l0 = read_steal(), read_load()
         calib_runs.append(round(calib(i, args.calib_copies), 2))
         calib_steals.append(steal_pct(s0, read_steal()))
+        calib_others.append(other_load_pct(l0, read_load()))
 
     print(json.dumps({
         "cores": args.cores,
         "n_images": n,
         "runs": runs,
         "steals": steals,
+        "others": others,
         "median_sec": med,
         "min_sec": min(runs),
         "images_per_sec": round(n / med, 1),
         "images_per_sec_best": round(n / min(runs), 1),
         "calib_runs": calib_runs,
         "calib_steals": calib_steals,
+        "calib_others": calib_others,
         "calib_copies": args.calib_copies,
         "calib_median_sec": statistics.median(calib_runs),
         "calib_min_sec": min(calib_runs),
