@@ -1770,7 +1770,22 @@ def q_suggest_documents(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"])
 
 
-SQL_SUGGEST_DOCUMENTS = """
+def _fmt_case_sql(col: str) -> str:
+    """DuckDB twin of suggest._suggested_format for a string column —
+    the CASE chain evaluates the SAME menu regexes (anchored, so
+    search-vs-fullmatch is moot) in the same precedence order."""
+    from jsonschema_spark.suggest import SUGGEST_FORMATS
+
+    nn = f"(SELECT count({col}) FROM documents)"
+    whens = " ".join(
+        f"WHEN {nn} > 0 AND (SELECT count(*) FROM documents "
+        f"WHERE regexp_matches({col}, '{rex.replace(chr(39), chr(39) * 2)}')) "
+        f"= {nn} THEN '{name}'"
+        for name, rex in SUGGEST_FORMATS)
+    return f"CASE {whens} ELSE NULL END"
+
+
+SQL_SUGGEST_DOCUMENTS = f"""
 WITH n AS (SELECT count(*) AS n_rows FROM documents)
 SELECT 'doc_id' AS column, 'integer' AS json_type, n.n_rows,
        (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS n_nulls,
@@ -1779,7 +1794,8 @@ SELECT 'doc_id' AS column, 'integer' AS json_type, n.n_rows,
        (SELECT CAST(max(doc_id) AS DOUBLE) FROM documents) AS max_num,
        CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len,
        (SELECT count(DISTINCT doc_id) FROM documents) AS n_distinct,
-       CAST(NULL AS VARCHAR[]) AS enum_vals
+       CAST(NULL AS VARCHAR[]) AS enum_vals,
+       CAST(NULL AS VARCHAR) AS suggested_format
 FROM n
 UNION ALL
 SELECT 'lang', 'string', n.n_rows,
@@ -1791,7 +1807,8 @@ SELECT 'lang', 'string', n.n_rows,
        (SELECT count(DISTINCT lang) FROM documents),
        CASE WHEN (SELECT count(DISTINCT lang) FROM documents) <= 16
             THEN (SELECT list_sort(list(DISTINCT lang)) FROM documents WHERE lang IS NOT NULL)
-            END
+            END,
+       {_fmt_case_sql('lang')}
 FROM n
 UNION ALL
 SELECT 'source', 'string', n.n_rows,
@@ -1803,7 +1820,8 @@ SELECT 'source', 'string', n.n_rows,
        (SELECT count(DISTINCT source) FROM documents),
        CASE WHEN (SELECT count(DISTINCT source) FROM documents) <= 16
             THEN (SELECT list_sort(list(DISTINCT source)) FROM documents WHERE source IS NOT NULL)
-            END
+            END,
+       {_fmt_case_sql('source')}
 FROM n
 UNION ALL
 SELECT 'n_chars', 'integer', n.n_rows,
@@ -1813,7 +1831,8 @@ SELECT 'n_chars', 'integer', n.n_rows,
        (SELECT CAST(max(n_chars) AS DOUBLE) FROM documents),
        NULL, NULL,
        (SELECT count(DISTINCT n_chars) FROM documents),
-       CAST(NULL AS VARCHAR[])
+       CAST(NULL AS VARCHAR[]),
+       CAST(NULL AS VARCHAR)
 FROM n
 """
 
@@ -2355,8 +2374,18 @@ def q_text_metrics_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_lines_kept").alias("boiler_kept"),
         F.col("n_lines_removed").alias("boiler_removed"),
     )
+    # r04 B55: exact substring-span dedup (Lee et al. 2021 window form) —
+    # canonical copy kept, every other >=8-token duplicated run scrubbed;
+    # the near-dup plants in `documents` share long runs, so this leg is
+    # non-vacuous (plan: operators/dedup.py duplicated_spans)
+    span = dedup.remove_duplicated_spans(docs, span_tokens=8).select(
+        "doc_id",
+        F.md5("text_clean").alias("span_clean_md5"),
+        F.col("n_tokens_removed").alias("span_tokens_removed"),
+        F.col("n_spans").alias("span_n_spans"),
+    )
     return (lid.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
-            .join(clean, "doc_id"))
+            .join(clean, "doc_id").join(span, "doc_id"))
 
 
 SQL_TEXT_METRICS_DOCUMENTS = f"""
@@ -2391,7 +2420,8 @@ SELECT doc_id,
   len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS re_tokens,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                           '\\s+', ' ', 'g'))) AS fingerprint,
-  b.boiler_clean_md5, b.boiler_kept, b.boiler_removed
+  b.boiler_clean_md5, b.boiler_kept, b.boiler_removed,
+  sp.span_clean_md5, sp.span_tokens_removed, sp.span_n_spans
 FROM s
 JOIN (
   -- r04 boilerplate twin: lines = single-space split (mirrors the Spark
@@ -2415,6 +2445,67 @@ JOIN (
       AS boiler_removed
   FROM l GROUP BY doc_id
 ) b USING (doc_id)
+JOIN (
+  -- r04 B55 twin: window-fingerprint substring-span dedup, islands via
+  -- window functions (independent implementation of the HOF-aggregate merge)
+  WITH sw AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents WHERE text IS NOT NULL
+  ),
+  ob AS (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p
+    FROM sw WHERE len(w) >= 8
+  ),
+  occ AS (
+    SELECT doc_id, p - 1 AS pos,
+           md5(array_to_string(w[p : p + 7], chr(31))) AS fp
+    FROM ob
+  ),
+  marked AS (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS n_occ,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+    FROM occ
+  ),
+  dup AS (SELECT doc_id, pos FROM marked WHERE n_occ >= 2 AND rn > 1),
+  isl AS (
+    SELECT doc_id, pos,
+           max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM dup
+  ),
+  grp AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+  ),
+  spans AS (
+    SELECT doc_id, min(pos) AS s, max(pos + 8) AS e
+    FROM grp GROUP BY doc_id, island
+  ),
+  tb AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM sw),
+  toks AS (SELECT doc_id, i - 1 AS idx, w[i] AS tok FROM tb),
+  kept AS (
+    SELECT t.* FROM toks t
+    WHERE NOT EXISTS (SELECT 1 FROM spans s2
+                      WHERE s2.doc_id = t.doc_id
+                        AND t.idx >= s2.s AND t.idx < s2.e)
+  ),
+  rebuilt AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+  )
+  SELECT sw.doc_id,
+         md5(coalesce(r.text_clean, '')) AS span_clean_md5,
+         CAST(len(sw.w) - coalesce(r.n_kept, 0) AS INTEGER)
+           AS span_tokens_removed,
+         CAST(coalesce(sc.n_spans, 0) AS INTEGER) AS span_n_spans
+  FROM sw
+  LEFT JOIN rebuilt r USING (doc_id)
+  LEFT JOIN (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id) sc
+    USING (doc_id)
+) sp USING (doc_id)
 """
 
 

@@ -631,3 +631,192 @@ def embedding_incremental_near_duplicates(
         .where(F.col("cos") >= threshold)
         .select("id_new", "id_other", "cos", "origin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span deduplication (B55) — window-fingerprint form of the
+# suffix-array ExactSubstr procedure (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): any token run of length
+# >= span_tokens that occurs >= min_count times across the corpus is found
+# and can be scrubbed from every non-canonical occurrence.
+#
+# Window quantization: every length-L token window (stride 1) is
+# fingerprinted; a duplicated run of R >= L tokens duplicates ALL of its
+# R-L+1 interior windows, whose union covers exactly the run — so detection
+# is equivalent to the suffix-array form at >= L-token granularity, and the
+# only divergence (documented) is that duplications SHORTER than L are
+# invisible, which is the same threshold the paper applies (they use 50
+# BPE tokens).
+#
+# Scale shape: tokens-per-corpus rows explode once; ONE hash aggregation
+# keyed by fingerprint (map-side combine) marks duplicated windows and picks
+# the canonical occurrence (min (id, pos) — deterministic); the flag table
+# joins back on the fingerprint (each occurrence matches at most one flag
+# row — no fan-out); span merging is a per-document aggregate (per-doc keys,
+# no hot keys, payload bounded by document length). No window functions, no
+# global sort, no UDF — fully engine-portable (DuckDB oracle twin).
+# ---------------------------------------------------------------------------
+
+_SPAN_SEP = "\x1f"  # unit separator: cannot appear inside a whitespace token
+                    # produced by split(\s+) unless the raw text embeds it
+
+
+def _window_fingerprints(text_col: str, span_tokens: int):
+    """Array of md5 fingerprints, one per 0-based window start position."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(ws)
+    return F.when(
+        n >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(0), n - span_tokens),
+            lambda p: F.md5(F.array_join(
+                F.slice(ws, p + 1, span_tokens), _SPAN_SEP)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_window_occurrences(
+    df: DataFrame,
+    span_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every (id, pos) whose length-``span_tokens`` window also occurs
+    elsewhere in the corpus (>= ``min_count`` total occurrences, same-doc
+    repeats included). ``is_canonical`` marks the single occurrence with the
+    minimum (id, pos) per fingerprint — the copy :func:`duplicated_spans`
+    preserves when ``keep_canonical=True``.
+
+    Output: (id, pos, fp, n_occ, is_canonical); ``pos`` is the 0-based
+    token offset of the window start.
+    """
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_window_fingerprints(text_col, span_tokens)).alias("pos", "fp"),
+    )
+    flags = (
+        occ.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"),
+             F.min(F.struct("id", "pos")).alias("_canon"))
+        .where(F.col("n_occ") >= min_count)
+    )
+    return occ.join(flags, "fp").select(
+        "id", "pos", "fp", "n_occ",
+        ((F.col("id") == F.col("_canon.id"))
+         & (F.col("pos") == F.col("_canon.pos"))).alias("is_canonical"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    span_tokens: int = 8,
+    min_count: int = 2,
+    keep_canonical: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merged removable token spans per document: overlapping/adjacent
+    duplicated windows coalesce into maximal [span_start, span_end) runs
+    (0-based token offsets, end exclusive).
+
+    ``keep_canonical=True`` (default) exempts each fingerprint's canonical
+    occurrence, so exactly one copy of every duplicated run survives in the
+    corpus (the min-(id, pos) copy — for a run shared by documents A < B,
+    every window's canonical lands in A, so A keeps the run intact);
+    ``False`` scrubs every occurrence (the conservative
+    eval-decontamination setting).
+
+    Span merging is a per-document ``aggregate`` over the sorted position
+    set — one hash agg keyed by id, no window functions.
+    """
+    occ = duplicated_window_occurrences(
+        df, span_tokens=span_tokens, min_count=min_count,
+        id_col=id_col, text_col=text_col)
+    if keep_canonical:
+        occ = occ.where(~F.col("is_canonical"))
+    merged = (
+        occ.groupBy("id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("_ps"))
+        .select("id", F.expr(f"""
+            aggregate(
+              _ps,
+              cast(array() as array<struct<s:int,e:int>>),
+              (acc, p) -> case
+                when size(acc) > 0 and p <= element_at(acc, -1).e
+                then concat(
+                  slice(acc, 1, size(acc) - 1),
+                  array(named_struct(
+                    's', element_at(acc, -1).s,
+                    'e', greatest(element_at(acc, -1).e, p + {int(span_tokens)}))))
+                else concat(acc, array(named_struct(
+                  's', p, 'e', p + {int(span_tokens)})))
+              end)
+        """).alias("_spans"))
+    )
+    return merged.select(
+        F.col("id").alias(id_col), F.explode("_spans").alias("_sp")
+    ).select(
+        id_col,
+        F.col("_sp.s").alias("span_start"),
+        F.col("_sp.e").alias("span_end"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    span_tokens: int = 8,
+    min_count: int = 2,
+    keep_canonical: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scrub the duplicated spans out of every document, preserving token
+    order. Pass a precomputed :func:`duplicated_spans` frame via ``spans``
+    (so one detection feeds reporting AND removal), or omit it to detect
+    inline with the given parameters.
+
+    Every input document survives; docs with no duplicated spans come back
+    unchanged (modulo whitespace normalization to single spaces — the token
+    model of this operator, documented divergence from byte-exact removal).
+    Output: (id_col, text_clean, n_tokens, n_tokens_removed, n_spans).
+
+    The span set joins back per document id (one row per doc after the
+    per-doc collect — AQE picks broadcast when it is small); token masking
+    is a pure higher-order expression over the merged-interval array.
+    """
+    if spans is None:
+        spans = duplicated_spans(
+            df, span_tokens=span_tokens, min_count=min_count,
+            keep_canonical=keep_canonical, id_col=id_col, text_col=text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("span_start").alias("s"),
+                                    F.col("span_end").alias("e")))
+        ).alias("_spans"))
+    j = df.join(per_doc, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(F.col("_spans"),
+                   F.expr("cast(array() as array<struct<s:int,e:int>>)")))
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        F.zip_with(
+            ws,
+            F.sequence(F.lit(0), F.greatest(F.size(ws), F.lit(1)) - 1),
+            lambda w, i: F.when(
+                ~F.exists("_spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])), w
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_tokens = F.size(ws)
+    return j.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_clean"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens - F.size(kept)).alias("n_tokens_removed"),
+        F.size("_spans").alias("n_spans"),
+    )

@@ -18,6 +18,13 @@ driver query has an exact DuckDB oracle twin):
 - string columns: observed length range becomes ``minLength``/``maxLength``
 - ``enum``: exact sorted distinct values when the column's exact distinct
   count is <= ``enum_max``
+- ``format``: a string column whose EVERY non-null value matches one of the
+  menu formats (most-specific-first precedence: date-time, date, uuid,
+  email, ipv4, uri) gets that ``format`` keyword suggested. The menu reuses
+  the exact regexes the validation engine asserts (``formats.py``,
+  restricted to the Java∩RE2 subset — no lookaheads), so the clean-round-
+  trip property is preserved by construction: whatever matched during
+  profiling validates during checking.
 """
 
 from __future__ import annotations
@@ -32,11 +39,40 @@ from pyspark.sql import types as T
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
 
+# format-suggestion menu: (format name, regex) in precedence order — the
+# regexes are the validation engine's own (formats.py), restricted to the
+# Java∩RE2-safe subset so DuckDB oracle twins can evaluate them verbatim
+# (HOSTNAME_RE's lookahead is excluded). Shared source = the suggested spec
+# validates clean against the very data it was profiled from.
+from jsonschema_spark import formats as _FMT
+
+SUGGEST_FORMATS: tuple[tuple[str, str], ...] = (
+    ("date-time", _FMT.DATETIME_RE),
+    ("date", _FMT.DATE_RE),
+    ("uuid", _FMT.UUID_RE),
+    ("email", _FMT.EMAIL_RE),
+    ("ipv4", _FMT.IPV4_RE),
+    ("uri", _FMT.URI_RE),
+)
+
 _JSON_TYPE = {
     "string": "string", "boolean": "boolean",
     "byte": "integer", "short": "integer", "integer": "integer", "long": "integer",
     "float": "number", "double": "number",
 }
+
+
+def _suggested_format(c: str, is_str: bool) -> Column:
+    """First menu format (precedence order) every non-null value matched;
+    null for non-string / all-null / no-uniform-match columns."""
+    if not is_str:
+        return F.lit(None).cast("string")
+    non_null = F.col("__n") - F.col(f"{c}__nulls")
+    out: Column = F.lit(None).cast("string")
+    for i, (name, _) in reversed(list(enumerate(SUGGEST_FORMATS))):
+        out = F.when((non_null > 0) & (F.col(f"{c}__fmt{i}") == non_null),
+                     F.lit(name)).otherwise(out)
+    return out
 
 
 def profile_columns(
@@ -71,6 +107,9 @@ def profile_columns(
         if isinstance(dt, T.StringType):
             aggs.append(F.min(F.length(col)).alias(f"{c}__minlen"))
             aggs.append(F.max(F.length(col)).alias(f"{c}__maxlen"))
+            for i, (_, rex) in enumerate(SUGGEST_FORMATS):
+                aggs.append(F.sum(col.rlike(rex).cast("long"))
+                            .alias(f"{c}__fmt{i}"))
         if c in maybe_enum:
             aggs.append(F.sort_array(F.collect_set(col.cast("string")))
                         .alias(f"{c}__enum"))
@@ -97,6 +136,7 @@ def profile_columns(
             dist.alias("n_distinct"),
             F.when(dist <= enum_max, enum_ok)
              .otherwise(F.lit(None).cast("array<string>")).alias("enum_vals"),
+            _suggested_format(c, is_str).alias("suggested_format"),
         ))
     return (
         wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
@@ -125,6 +165,8 @@ def suggest_spec(
             elif r["json_type"] == "number":
                 vals = [float(v) for v in vals]
             p["enum"] = vals
+        if r["suggested_format"] is not None:
+            p["format"] = r["suggested_format"]
         props[r["column"]] = p
         if r["required"]:
             required.append(r["column"])

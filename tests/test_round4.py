@@ -608,3 +608,211 @@ def test_assign_aspect_buckets_plan_scan_side(spark):
     plan = assign_aspect_buckets(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -------------------------- exact substring-span dedup (B55, Lee et al. 2021)
+
+def _span_docs(spark):
+    shared = ("alpha bravo charlie delta echo foxtrot golf hotel "
+              "india juliett kilo lima")
+    rows = []
+    for i in range(40):
+        filler = " ".join(f"tok{i}x{j}" for j in range(20))
+        text = f"{filler} {shared} tail{i}" if i % 5 == 0 else f"{filler} tail{i}"
+        rows.append((f"d{i:03d}", text))
+    rows.append(("d900", " ".join(
+        ["repeat me now please one two three four"] * 3)))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_duplicated_spans_planted_run(spark):
+    """A 12-token run shared by 8 docs: every window of the run is flagged,
+    the min-(id,pos) copy (d000) is canonical and keeps the run, every other
+    copy merges to exactly one [20, 32) span."""
+    from jsonschema_spark.operators.dedup import duplicated_spans
+
+    docs = _span_docs(spark)
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in duplicated_spans(docs, span_tokens=8).collect()}
+    sharers = [f"d{i:03d}" for i in range(0, 40, 5)]
+    for d in sharers[1:]:
+        assert (d, 20, 32) in spans, d
+    assert not any(d == "d000" for d, _, _ in spans)
+    # the self-repeating doc keeps its first phrase occurrence: span [8, 24)
+    assert ("d900", 8, 24) in spans
+    assert {(s, e) for d, s, e in spans if d == "d900"} == {(8, 24)}
+
+
+def test_remove_duplicated_spans_keep_canonical(spark):
+    from jsonschema_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _span_docs(spark)
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_spans(docs, span_tokens=8).collect()}
+    # canonical doc unchanged
+    assert out["d000"]["n_tokens_removed"] == 0
+    assert "alpha bravo" in out["d000"]["text_clean"]
+    # non-canonical sharers lose exactly the 12 run tokens, keep their tail
+    assert out["d005"]["n_tokens_removed"] == 12
+    assert "alpha" not in out["d005"]["text_clean"]
+    assert out["d005"]["text_clean"].endswith("tail5")
+    # self-repeat collapses to one phrase copy
+    assert out["d900"]["text_clean"] == "repeat me now please one two three four"
+    # untouched docs round-trip
+    assert out["d001"]["n_tokens_removed"] == 0 and out["d001"]["n_spans"] == 0
+
+
+def test_remove_duplicated_spans_scrub_all(spark):
+    """keep_canonical=False (eval-decontamination setting) scrubs EVERY
+    occurrence, canonical included."""
+    from jsonschema_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _span_docs(spark)
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_spans(docs, span_tokens=8,
+                                   keep_canonical=False).collect()}
+    assert out["d000"]["n_tokens_removed"] == 12
+    assert out["d900"]["text_clean"] == ""
+    assert out["d900"]["n_tokens_removed"] == 24
+
+
+def test_remove_duplicated_spans_duckdb_twin(spark):
+    """Full-pipeline equality against an independent DuckDB implementation
+    (window-function islands instead of HOF aggregate) on a corpus with
+    organic overlaps: shared fragments at varying offsets, adjacent
+    fragments (span merging), same-doc repeats, an empty doc."""
+    import duckdb
+
+    from jsonschema_spark.operators.dedup import remove_duplicated_spans
+
+    frags = [" ".join(f"s{k}w{j}" for j in range(10)) for k in range(6)]
+    rows = []
+    for i in range(120):
+        filler = " ".join(f"f{i}u{j}" for j in range(5))
+        parts = [filler, frags[i % 6], f"mid{i}"]
+        if i % 4 == 0:
+            parts.append(frags[(i + 1) % 6])  # adjacent second fragment
+        if i % 7 == 0:
+            parts.append(frags[i % 6])  # same-doc repeat
+        parts.append(f"tail{i}")
+        rows.append((f"c{i:04d}", " ".join(parts)))
+    rows.append(("c9999", ""))  # empty doc survives
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    L = 8
+    got = {r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+           for r in remove_duplicated_spans(docs, span_tokens=L).collect()}
+
+    pdf = docs.toPandas()
+    want_rows = duckdb.sql(f"""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM pdf
+        ),
+        occ_base AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w) - {L} + 1)) AS p
+          FROM words WHERE len(w) >= {L}
+        ),
+        occ AS (
+          SELECT doc_id, p - 1 AS pos,
+                 md5(array_to_string(w[p : p + {L} - 1], chr(31))) AS fp
+          FROM occ_base
+        ),
+        marked AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY fp) AS n_occ,
+                 row_number() OVER (PARTITION BY fp
+                                    ORDER BY doc_id, pos) AS rn
+          FROM occ
+        ),
+        dup AS (SELECT doc_id, pos FROM marked WHERE n_occ >= 2 AND rn > 1),
+        isl AS (
+          SELECT doc_id, pos,
+                 max(pos + {L}) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM dup
+        ),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl
+        ),
+        spans AS (
+          SELECT doc_id, min(pos) AS s, max(pos + {L}) AS e
+          FROM grp GROUP BY doc_id, island
+        ),
+        tok_base AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          FROM words
+        ),
+        toks AS (SELECT doc_id, i - 1 AS idx, w[i] AS tok FROM tok_base),
+        kept AS (
+          SELECT t.* FROM toks t
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = t.doc_id
+                              AND t.idx >= s.s AND t.idx < s.e)
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id, coalesce(r.text_clean, '') AS text_clean,
+               len(w.w) - coalesce(r.n_kept, 0) AS n_removed
+        FROM words w LEFT JOIN rebuilt r USING (doc_id)
+    """).fetchall()
+    want = {d: (t, n) for d, t, n in want_rows}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], d
+    # non-vacuous: fragments actually got scrubbed somewhere
+    assert sum(n for _, n in got.values()) > 100
+
+
+# ------------------------------------- B45 extension: format inference (r4)
+
+def test_suggest_format_inference(spark):
+    """A string column whose every non-null value matches a menu format gets
+    that `format` suggested (precedence order); one non-matching value or an
+    all-null column kills the suggestion; nulls are ignored otherwise."""
+    from jsonschema_spark.suggest import profile_columns, suggest_spec
+
+    rows = [(i,
+             f"u{i}@example.com",
+             f"2024-01-{(i % 27) + 1:02d}",
+             "not-a-uuid" if i == 3 else f"550e8400-e29b-41d4-a716-{i:012d}",
+             None if i % 2 else f"10.0.0.{i}",
+             None) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "id int, em string, dt string, uu string, ip string, nul string")
+    prof = {r["column"]: r["suggested_format"]
+            for r in profile_columns(df).collect()}
+    assert prof["em"] == "email"
+    assert prof["dt"] == "date"
+    assert prof["uu"] is None        # one non-matching value
+    assert prof["ip"] == "ipv4"      # nulls ignored
+    assert prof["nul"] is None       # all-null: no format
+    assert prof["id"] is None        # non-string: no format
+    spec = suggest_spec(df)
+    assert spec["properties"]["em"]["format"] == "email"
+    assert "format" not in spec["properties"]["uu"]
+
+
+def test_suggest_format_precedence_and_roundtrip(spark):
+    """date-time outranks uri (an RFC3339 timestamp is not uri-shaped, but a
+    colon-bearing string can be both — fixed precedence keeps the suggestion
+    deterministic), and the clean-round-trip property survives the new
+    keyword: the engine asserts the SAME regex it profiled with."""
+    from jsonschema_spark.engine import validate_rows
+    from jsonschema_spark.suggest import suggest_spec
+
+    rows = [(i, f"2024-01-0{i + 1}T12:00:0{i}Z", f"scheme{i}:rest") for i in range(5)]
+    df = spark.createDataFrame(rows, "id int, ts string, u string")
+    spec = suggest_spec(df)
+    assert spec["properties"]["ts"]["format"] == "date-time"
+    assert spec["properties"]["u"]["format"] == "uri"
+    got = validate_rows(df, spec, keys=["id"]).collect()
+    assert got == []
