@@ -88,6 +88,72 @@ def read_load() -> tuple[int, int, int]:
     return busy, total, _tree_ticks()
 
 
+class MemProbe:
+    """In-region DRAM-bandwidth gauge (round 4, attempt 3): a daemon thread
+    samples single-thread streaming-read bandwidth (one numpy sum over a
+    256 MB resident buffer, ~30 ms) every ``interval`` seconds while a
+    region is active; the region's gauge is the MEDIAN sample in GB/s.
+
+    Why a third instrument: the 2026-08-18 attempts recorded rounds where
+    BOTH existing gauges were quiet (steal 0.21%, other-load 1.41%) yet the
+    32-wide suite ran 2.2x its known-quiet time while the 8-wide exactly
+    reproduced its quiet time — neighbor-VM MEMORY contention stalls our
+    vCPUs inside busy ticks, so neither the hypervisor steal counter nor
+    the own-tree CPU accounting can see it, and it hits the level that
+    spans every host core asymmetrically (the 8-wide level's working set
+    rides in caches the neighbor cannot reach as easily). A concurrent
+    bandwidth probe sees exactly this: DRAM reads slow down in direct
+    proportion to the interference.
+
+    Probe hygiene: the buffer is touched once at init (lazy page faults
+    would otherwise be timed — the bug the platform probe had); ``np.sum``
+    releases the GIL so the driver thread is not blocked; duty cycle is
+    ~30 ms per 400 ms = <8%% of ONE core (<1%% of the 8-core level, ~0.25%%
+    of the 32-core level) — too small to bias the suite timing, and it
+    biases BOTH levels the same way.
+    """
+
+    def __init__(self, interval: float = 0.4, mb: int = 256) -> None:
+        import threading
+
+        import numpy as np
+
+        self._np = np
+        self._buf = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+        float(np.sum(self._buf))  # fault every page in BEFORE any timing
+        self._interval = interval
+        self._samples: list[float] = []
+        self._active = False
+        self._lock = threading.Lock()
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def _loop(self) -> None:
+        while True:
+            if self._active:
+                t0 = time.perf_counter()
+                s = float(self._np.sum(self._buf))
+                dt = time.perf_counter() - t0
+                assert s > 0  # keep the sum live
+                with self._lock:
+                    if self._active and dt > 0:
+                        self._samples.append(self._buf.nbytes / dt / 1e9)
+            time.sleep(self._interval)
+
+    def region_start(self) -> None:
+        with self._lock:
+            self._samples = []
+            self._active = True
+
+    def region_end(self) -> float:
+        """Median in-region bandwidth (GB/s); 0.0 if the region was too
+        short to sample (regions here are >=20 s, so this is theoretical)."""
+        with self._lock:
+            self._active = False
+            vals = list(self._samples)
+        return round(statistics.median(vals), 2) if vals else 0.0
+
+
 def other_load_pct(before: tuple[int, int, int],
                    after: tuple[int, int, int]) -> float:
     """CPU consumed by processes OUTSIDE this benchmark's process tree during
@@ -207,12 +273,15 @@ def main() -> None:
         spark.catalog.clearCache()
         return time.time() - t0
 
+    probe = MemProbe()
     for _ in range(args.warmups):  # JIT/codegen warm-up, discarded
         one_run()
-    runs, steals, others = [], [], []
+    runs, steals, others, mems = [], [], [], []
     for _ in range(args.runs):
         s0, l0 = read_steal(), read_load()
+        probe.region_start()
         runs.append(round(one_run(), 2))
+        mems.append(probe.region_end())
         steals.append(steal_pct(s0, read_steal()))
         others.append(other_load_pct(l0, read_load()))
     med = statistics.median(runs)
@@ -242,10 +311,12 @@ def main() -> None:
         return time.time() - t0
 
     calib(999, 1)  # JIT/codegen warm-up (shape, not duration)
-    calib_runs, calib_steals, calib_others = [], [], []
+    calib_runs, calib_steals, calib_others, calib_mems = [], [], [], []
     for i in range(args.runs):
         s0, l0 = read_steal(), read_load()
+        probe.region_start()
         calib_runs.append(round(calib(i, args.calib_copies), 2))
+        calib_mems.append(probe.region_end())
         calib_steals.append(steal_pct(s0, read_steal()))
         calib_others.append(other_load_pct(l0, read_load()))
 
@@ -255,6 +326,7 @@ def main() -> None:
         "runs": runs,
         "steals": steals,
         "others": others,
+        "mems": mems,
         "median_sec": med,
         "min_sec": min(runs),
         "images_per_sec": round(n / med, 1),
@@ -262,6 +334,7 @@ def main() -> None:
         "calib_runs": calib_runs,
         "calib_steals": calib_steals,
         "calib_others": calib_others,
+        "calib_mems": calib_mems,
         "calib_copies": args.calib_copies,
         "calib_median_sec": statistics.median(calib_runs),
         "calib_min_sec": min(calib_runs),
