@@ -659,17 +659,39 @@ FROM m2
 def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding-distribution drift: centroid cosine vs the global
     centroid + mean norm (operators/similarity.py:embedding_drift — one
-    posexplode + hash agg keyed by (partition, dim); no UDF, no collect)."""
+    posexplode + hash agg keyed by (partition, dim); no UDF, no collect).
+
+    r04 B56 leg: per-label cross-modal alignment census
+    (operators/alignment.py) over deterministic partner pairs — vector i
+    paired with vector i XOR 1, standing in for the 1:1
+    caption-embedding/image-embedding join of a real multimodal table.
+    Scan-side cosine per pair, ONE hash agg per label."""
+    from jsonschema_spark.operators.alignment import alignment_stats
     from jsonschema_spark.operators.similarity import embedding_drift
 
     emb = _t(spark, sf, "embeddings")
     out = embedding_drift(emb, part_col="label", vec_col="embedding")
+    a = emb.select("vec_id", "label", F.col("embedding").alias("text_vec"))
+    b = emb.select(F.col("vec_id").bitwiseXOR(F.lit(1)).alias("vec_id"),
+                   F.col("embedding").alias("image_vec"))
+    al = alignment_stats(a.join(b, "vec_id", "left"),
+                         "text_vec", "image_vec",
+                         group_col="label", threshold=0.1)
+    al = al.select(
+        "label",
+        F.col("n").alias("align_n"),
+        F.col("n_unscorable").alias("align_unscorable"),
+        F.col("n_misaligned").alias("align_misaligned"),
+        F.round("mean_cos", 6).alias("align_mean_cos"),
+        F.round("min_cos", 6).alias("align_min_cos"),
+        F.round("max_cos", 6).alias("align_max_cos"),
+    )
     return out.select(
         F.col("part_id").alias("label"),
         F.round("cos_to_global", 6).alias("cos_to_global"),
         F.round("mean_norm", 6).alias("mean_norm"),
         F.col("n"),
-    )
+    ).join(al, "label")
 
 
 SQL_EMBEDDING_DRIFT = """
@@ -694,8 +716,30 @@ a AS (
 )
 SELECT part_id AS label,
        ROUND(num / GREATEST(np * ng, 1e-12), 6) AS cos_to_global,
-       ROUND(mean_norm, 6) AS mean_norm, CAST(n AS BIGINT) AS n
+       ROUND(mean_norm, 6) AS mean_norm, CAST(n AS BIGINT) AS n,
+       al.align_n, al.align_unscorable, al.align_misaligned,
+       al.align_mean_cos, al.align_min_cos, al.align_max_cos
 FROM a
+JOIN (
+  -- r04 B56 twin: partner-pair (i, i XOR 1) cross-modal alignment census
+  WITH p AS (
+    SELECT ea.label,
+           list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                  CAST(eb.embedding AS DOUBLE[])) AS cos
+    FROM embeddings ea
+    LEFT JOIN embeddings eb ON eb.vec_id = xor(ea.vec_id, 1)
+  )
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS align_n,
+         CAST(sum(CASE WHEN cos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS align_unscorable,
+         CAST(sum(CASE WHEN cos IS NULL OR cos < 0.1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS align_misaligned,
+         ROUND(avg(cos), 6) AS align_mean_cos,
+         ROUND(min(cos), 6) AS align_min_cos,
+         ROUND(max(cos), 6) AS align_max_cos
+  FROM p GROUP BY label
+) al ON al.label = a.part_id
 """
 
 
@@ -1142,29 +1186,6 @@ WITH planted AS ({_SQL_PLANT_PII})
     f"SELECT doc_id, '{k}' AS kind, unnest(regexp_extract_all(text, '{rx}')) AS match FROM planted"
     for k, rx in _SQL_PII_RX.items()
 )}
-"""
-
-
-def q_pii_redact_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """Redaction: every detected span replaced by [KIND] in a fixed order
-    (composite shapes first), one chained regexp_replace projection. Output
-    is md5(redacted) so the oracle compares full text equality cheaply."""
-    docs = _plant_pii(_t(spark, sf, "documents").select("doc_id", "text"))
-    return pii.redact(docs).select("doc_id", F.md5("redacted").alias("redacted_md5"))
-
-
-SQL_PII_REDACT_DOCUMENTS = f"""
-WITH planted AS ({_SQL_PLANT_PII})
-SELECT doc_id, md5(
-  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-    text,
-    '{_SQL_PII_RX["email"]}', '[EMAIL]', 'g'),
-    '{_SQL_PII_RX["uuid"]}', '[UUID]', 'g'),
-    '{_SQL_PII_RX["ipv4"]}', '[IPV4]', 'g'),
-    '{_SQL_PII_RX["ssn"]}', '[SSN]', 'g'),
-    '{_SQL_PII_RX["phone"]}', '[PHONE]', 'g')
-) AS redacted_md5
-FROM planted
 """
 
 
@@ -1714,11 +1735,22 @@ def q_overlap_documents(spark: SparkSession, sf: str) -> DataFrame:
     from jsonschema_spark.operators.overlap import set_overlap
 
     docs = _t(spark, sf, "documents")
+    # r04 B57 leg: out-of-vocabulary mass of the FULL corpus vs a vocabulary
+    # fit on the even-doc half (odd docs contribute OOV types by
+    # construction) — broadcast vocab join on the per-type aggregate,
+    # exact-integer ratios so 6-dp rounding is engine-stable
+    vocab = T.top_tokens(docs.where(F.col("doc_id") % 2 == 0), k=100)
+    oov = T.oov_stats(docs, vocab.select("token")).select(
+        "n_tokens", "n_types", "n_oov_tokens", "n_oov_types",
+        F.round("oov_token_frac", 6).alias("oov_token_frac"),
+        F.round("oov_type_frac", 6).alias("oov_type_frac"),
+    )
     return set_overlap(docs.where(F.col("doc_id") % 2 == 0),
-                       docs.where(F.col("doc_id") % 3 == 0), "doc_id")
+                       docs.where(F.col("doc_id") % 3 == 0),
+                       "doc_id").crossJoin(oov)
 
 
-SQL_OVERLAP_DOCUMENTS = """
+SQL_OVERLAP_DOCUMENTS = r"""
 WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0),
      b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 = 0),
      c AS (SELECT
@@ -1730,8 +1762,42 @@ SELECT n_a, n_b, n_intersection, n_union,
        n_a - n_intersection AS n_a_only,
        n_b - n_intersection AS n_b_only,
        ROUND(n_intersection * 1.0 / n_union, 6) AS jaccard,
-       ROUND(n_intersection * 1.0 / n_a, 6) AS containment_a_in_b
+       ROUND(n_intersection * 1.0 / n_a, 6) AS containment_a_in_b,
+       oov.n_tokens, oov.n_types, oov.n_oov_tokens, oov.n_oov_types,
+       oov.oov_token_frac, oov.oov_type_frac
 FROM c
+CROSS JOIN (
+  -- r04 B57 twin: OOV mass of the full corpus vs the even-doc top-100 vocab
+  WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents WHERE text IS NOT NULL
+  ),
+  t2 AS (SELECT * FROM toks WHERE token <> ''),
+  vocab AS (
+    SELECT token FROM (
+      SELECT token, count(*) AS n_occ,
+             row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+      FROM t2 WHERE doc_id % 2 = 0 GROUP BY token
+    ) WHERE rank <= 100
+  ),
+  counts AS (
+    SELECT t.token, count(*) AS n_occ,
+           max(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+    FROM t2 t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.token
+  )
+  SELECT CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN in_vocab = 0 THEN n_occ ELSE 0 END) AS BIGINT)
+           AS n_oov_tokens,
+         CAST(sum(CASE WHEN in_vocab = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov_types,
+         ROUND(sum(CASE WHEN in_vocab = 0 THEN n_occ ELSE 0 END)
+               / CAST(sum(n_occ) AS DOUBLE), 6) AS oov_token_frac,
+         ROUND(sum(CASE WHEN in_vocab = 0 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS oov_type_frac
+  FROM counts
+) oov
 """
 
 
@@ -2384,8 +2450,13 @@ def q_text_metrics_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_tokens_removed").alias("span_tokens_removed"),
         F.col("n_spans").alias("span_n_spans"),
     )
+    # r04: the former pii_redact_documents gate leg rides here (its registry
+    # slot now carries vocab_documents) — same planted corpus, same md5-of-
+    # redacted-text equality, coverage preserved
+    red = pii.redact(_plant_pii(docs.select("doc_id", "text"))).select(
+        "doc_id", F.md5("redacted").alias("pii_redacted_md5"))
     return (lid.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
-            .join(clean, "doc_id").join(span, "doc_id"))
+            .join(clean, "doc_id").join(span, "doc_id").join(red, "doc_id"))
 
 
 SQL_TEXT_METRICS_DOCUMENTS = f"""
@@ -2421,7 +2492,8 @@ SELECT doc_id,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                           '\\s+', ' ', 'g'))) AS fingerprint,
   b.boiler_clean_md5, b.boiler_kept, b.boiler_removed,
-  sp.span_clean_md5, sp.span_tokens_removed, sp.span_n_spans
+  sp.span_clean_md5, sp.span_tokens_removed, sp.span_n_spans,
+  pr.pii_redacted_md5
 FROM s
 JOIN (
   -- r04 boilerplate twin: lines = single-space split (mirrors the Spark
@@ -2506,6 +2578,58 @@ JOIN (
   LEFT JOIN (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id) sc
     USING (doc_id)
 ) sp USING (doc_id)
+JOIN (
+  -- r04: former pii_redact_documents leg (registry slot ceded to
+  -- vocab_documents) — identical planted corpus + chained-replace twin
+  WITH planted AS ({_SQL_PLANT_PII})
+  SELECT doc_id, md5(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      text,
+      '{_SQL_PII_RX["email"]}', '[EMAIL]', 'g'),
+      '{_SQL_PII_RX["uuid"]}', '[UUID]', 'g'),
+      '{_SQL_PII_RX["ipv4"]}', '[IPV4]', 'g'),
+      '{_SQL_PII_RX["ssn"]}', '[SSN]', 'g'),
+      '{_SQL_PII_RX["phone"]}', '[PHONE]', 'g')
+  ) AS pii_redacted_md5
+  FROM planted
+) pr USING (doc_id)
+"""
+
+
+def q_vocab_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """B57 vocabulary head + coverage curve (operators/text.py top_tokens):
+    one explode + ONE token-keyed hash agg; the only ordered step is
+    TakeOrderedAndProject bounded to k=40, and the cumulative-coverage
+    window runs over exactly those 40 rows. frac/cum_frac are exact-integer
+    ratios so 6-dp rounding is engine-stable."""
+    docs = _t(spark, sf, "documents")
+    return T.top_tokens(docs, k=40).select(
+        "rank", "token", "n_occ", "n_docs",
+        F.round("frac", 6).alias("frac"),
+        F.round("cum_frac", 6).alias("cum_frac"),
+    )
+
+
+SQL_VOCAB_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+v AS (
+  SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM toks WHERE token <> '' GROUP BY token
+),
+tot AS (SELECT CAST(sum(n_occ) AS DOUBLE) AS total FROM v),
+h AS (
+  SELECT *, row_number() OVER (ORDER BY n_occ DESC, token) AS rank
+  FROM v QUALIFY rank <= 40
+)
+SELECT rank, token, n_occ, n_docs,
+       ROUND(n_occ / total, 6) AS frac,
+       ROUND(sum(n_occ) OVER (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total, 6)
+         AS cum_frac
+FROM h CROSS JOIN tot
 """
 
 
@@ -2898,7 +3022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- merged carriers of r03-green queries ---------------------------
         "sampling_documents": q_sampling_documents,
         "pii_findings_documents": q_pii_findings_documents_v2,
-        "pii_redact_documents": q_pii_redact_documents,
+        # r04: pii_redact's md5 leg moved into text_metrics_documents; the
+        # freed slot carries the B57 vocabulary head (cap stays at 50)
+        "vocab_documents": q_vocab_documents,
         "ann_recall_embeddings": q_ann_recall_embeddings,
         "simhash_md5_documents": q_simhash_md5_full_documents,
         "json_payloads_events": q_json_payloads_events,
@@ -2957,7 +3083,7 @@ def oracle_sql() -> dict[str, str]:
         "fidelity_phash_images": _sql_fidelity_phash_images(),
         "sampling_documents": SQL_SAMPLING_DOCUMENTS,
         "pii_findings_documents": SQL_PII_FINDINGS_V2,
-        "pii_redact_documents": SQL_PII_REDACT_DOCUMENTS,
+        "vocab_documents": SQL_VOCAB_DOCUMENTS,
         "ann_recall_embeddings": SQL_ANN_RECALL_EMBEDDINGS,
         "simhash_md5_documents": SQL_SIMHASH_MD5_FULL_DOCUMENTS,
         "json_payloads_events": SQL_JSON_PAYLOADS_EVENTS,

@@ -334,3 +334,115 @@ def chunk_documents(
             F.array_join("c._toks", " ").alias("chunk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics (B57): token-frequency table, ranked head
+# coverage, and out-of-vocabulary mass — the profiling a tokenizer-fitting /
+# vocabulary-sizing step runs before training. Token model: whitespace
+# words (the same `words()` every text operator here uses); empty tokens
+# from blank/NULL documents are dropped.
+#
+# Scale shape: `vocabulary` is one explode plus ONE hash aggregation keyed
+# by token (map-side combine; distinct-doc counting shuffles (token, id)
+# pairs once — linear). `top_tokens` bounds the only ordered step to the
+# requested k via TakeOrderedAndProject (no global sort materializes), and
+# the cumulative-coverage window runs over exactly k rows (bounded, single
+# partition of k — documented, not a scale risk for the k<=10^5 a
+# vocabulary report uses). `oov_stats` joins the token aggregate against
+# the vocabulary — broadcast by default (vocabularies are ~10^4-10^6 rows).
+# ---------------------------------------------------------------------------
+
+
+def _corpus_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"),
+                F.explode(words(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full token-frequency table: (token, n_occ, n_docs). One explode +
+    one hash aggregation keyed by token — linear in corpus token count."""
+    return (
+        _corpus_tokens(df, text_col, id_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"),
+             F.countDistinct("_id").alias("n_docs"))
+    )
+
+
+def top_tokens(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ranked head of the vocabulary with cumulative corpus coverage:
+    (rank, token, n_occ, n_docs, frac, cum_frac) — ``cum_frac`` at rank r
+    is the fraction of ALL corpus tokens covered by the top r types (the
+    coverage curve a vocabulary-size decision reads). Ties break by token
+    text so the ranking is deterministic. Ordered work is bounded to k rows
+    (TakeOrderedAndProject); total mass is one scalar aggregate joined in
+    as a 1x1 literal cross join.
+    """
+    from pyspark.sql.window import Window
+
+    vocab = vocabulary(df, text_col, id_col)
+    total = vocab.agg(F.sum("n_occ").alias("_total"))
+    head = vocab.orderBy(F.desc("n_occ"), F.asc("token")).limit(int(k))
+    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))  # <= k rows, bounded
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token", "n_occ", "n_docs",
+            (F.col("n_occ") / F.col("_total")).alias("frac"),
+            (F.sum("n_occ").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+             / F.col("_total")).alias("cum_frac"),
+        )
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_col: str = "token",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Out-of-vocabulary mass vs a given vocabulary table: one row
+    (n_tokens, n_types, n_oov_tokens, n_oov_types, oov_token_frac,
+    oov_type_frac). Token mass weighs by occurrences; type counts weigh
+    each distinct token once. The join runs on the (small) per-type
+    aggregate, not the raw token stream; ``broadcast_vocab=False`` is the
+    escape hatch for a vocabulary too large to broadcast (shuffle-hash on
+    the token key).
+    """
+    v = vocab.select(F.col(vocab_col).alias("token")).distinct()
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    counts = (
+        _corpus_tokens(df, text_col, id_col)
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+        .join(v.withColumn("_in_vocab", F.lit(True)), "token", "left")
+    )
+    n_tokens = F.sum("n_occ")
+    n_oov_tokens = F.sum(F.when(F.col("_in_vocab").isNull(),
+                                F.col("n_occ")).otherwise(F.lit(0)))
+    n_types = F.count(F.lit(1))
+    n_oov_types = F.sum(F.col("_in_vocab").isNull().cast("long"))
+    return counts.agg(
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        n_oov_tokens.alias("n_oov_tokens"),
+        n_oov_types.alias("n_oov_types"),
+        (n_oov_tokens / n_tokens).alias("oov_token_frac"),
+        (n_oov_types / n_types.cast("double")).alias("oov_type_frac"),
+    )

@@ -816,3 +816,166 @@ def test_suggest_format_precedence_and_roundtrip(spark):
     assert spec["properties"]["u"]["format"] == "uri"
     got = validate_rows(df, spec, keys=["id"]).collect()
     assert got == []
+
+
+# ------------------------- cross-modal embedding alignment (B56, new r4)
+
+def test_alignment_cos_semantics(spark):
+    """Scorable pairs get the exact cosine; NULL / empty / mismatched-length
+    / zero-norm pairs are NULL-cos and fail the aligned gate (an unscorable
+    pair must never pass curation silently)."""
+    from jsonschema_spark.operators.alignment import alignment_verdicts
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),     # cos = 1
+        (2, [1.0, 0.0], [0.0, 1.0]),     # cos = 0
+        (3, [1.0, 0.0], [-1.0, 0.0]),    # cos = -1
+        (4, None, [1.0, 0.0]),           # null side
+        (5, [1.0, 0.0], [1.0, 0.0, 0.0]),  # length mismatch
+        (6, [0.0, 0.0], [1.0, 0.0]),     # zero norm
+        (7, [], []),                     # empty
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, text_vec array<double>, image_vec array<double>")
+    out = {r["id"]: r for r in
+           alignment_verdicts(df, "text_vec", "image_vec", "id",
+                              threshold=0.5).collect()}
+    assert abs(out[1]["align_cos"] - 1.0) < 1e-12 and out[1]["aligned"]
+    assert abs(out[2]["align_cos"]) < 1e-12 and not out[2]["aligned"]
+    assert abs(out[3]["align_cos"] + 1.0) < 1e-12 and not out[3]["aligned"]
+    for i in (4, 5, 6, 7):
+        assert out[i]["align_cos"] is None and not out[i]["aligned"], i
+
+
+def test_alignment_verdicts_plan_scan_side(spark):
+    from jsonschema_spark.operators.alignment import alignment_verdicts
+
+    df = spark.range(10).select(
+        F.col("id"),
+        F.array(*[F.rand(1) for _ in range(4)]).alias("text_vec"),
+        F.array(*[F.rand(2) for _ in range(4)]).alias("image_vec"))
+    plan = (alignment_verdicts(df)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_alignment_stats_duckdb_twin(spark):
+    """Per-group census vs an independent DuckDB implementation on
+    deterministic vectors, unscorable rows included."""
+    import duckdb
+
+    from jsonschema_spark.operators.alignment import alignment_stats
+
+    rows = []
+    for i in range(60):
+        a = [((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]
+        b = [((i * 5 + j * 7) % 13) - 6.0 for j in range(8)]
+        rows.append((i, f"g{i % 3}", a, None if i % 17 == 0 else b))
+    df = spark.createDataFrame(
+        rows, "id int, grp string, va array<double>, vb array<double>")
+    got = {r["grp"]: r for r in
+           alignment_stats(df, "va", "vb", group_col="grp",
+                           threshold=0.1).collect()}
+    pdf = df.toPandas()
+    want = duckdb.sql("""
+        WITH p AS (
+          SELECT grp, CASE WHEN vb IS NULL THEN NULL
+                      ELSE list_cosine_similarity(va, vb) END AS cos
+          FROM pdf
+        )
+        SELECT grp, count(*) AS n,
+               sum(CASE WHEN cos IS NULL THEN 1 ELSE 0 END) AS n_unscorable,
+               sum(CASE WHEN cos IS NULL OR cos < 0.1 THEN 1 ELSE 0 END)
+                 AS n_misaligned,
+               avg(cos) AS mean_cos, min(cos) AS min_cos, max(cos) AS max_cos
+        FROM p GROUP BY grp
+    """).fetchall()
+    assert len(want) == 3
+    for grp, n, nu, nm, mc, mn, mx in want:
+        g = got[grp]
+        assert (g["n"], g["n_unscorable"], g["n_misaligned"]) == (n, nu, nm)
+        assert abs(g["mean_cos"] - mc) < 1e-9
+        assert abs(g["min_cos"] - mn) < 1e-9 and abs(g["max_cos"] - mx) < 1e-9
+    # non-vacuous: every failure mode present somewhere
+    assert sum(g["n_unscorable"] for g in got.values()) >= 3
+    assert 0 < sum(g["n_misaligned"] for g in got.values()) < 60
+
+
+# ----------------------------- corpus vocabulary stats (B57, new r4)
+
+def _vocab_docs(spark):
+    rows = []
+    for i in range(30):
+        common = "the quick brown fox" if i % 2 == 0 else "the lazy dog"
+        rows.append((i, f"{common} unique{i} " + ("shared " * (i % 4))))
+    rows.append((30, None))
+    rows.append((31, "   "))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_vocabulary_and_top_tokens_duckdb(spark):
+    import duckdb
+
+    from jsonschema_spark.operators.text import top_tokens, vocabulary
+
+    docs = _vocab_docs(spark)
+    voc = {r["token"]: (r["n_occ"], r["n_docs"])
+           for r in vocabulary(docs).collect()}
+    assert voc["the"] == (30, 30)
+    assert voc["shared"][0] == sum(i % 4 for i in range(30))
+    assert "" not in voc
+
+    got = [(r["rank"], r["token"], r["n_occ"], r["n_docs"],
+            round(r["frac"], 9), round(r["cum_frac"], 9))
+           for r in top_tokens(docs, k=5).collect()]
+    pdf = docs.toPandas()
+    want = duckdb.sql(r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM pdf WHERE text IS NOT NULL
+        ),
+        v AS (SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+              FROM toks WHERE token <> '' GROUP BY token),
+        tot AS (SELECT CAST(sum(n_occ) AS DOUBLE) AS total FROM v),
+        h AS (SELECT *, row_number() OVER (ORDER BY n_occ DESC, token) AS rank
+              FROM v QUALIFY rank <= 5)
+        SELECT rank, token, n_occ, n_docs,
+               ROUND(n_occ / total, 9) AS frac,
+               ROUND(sum(n_occ) OVER (ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total,
+                   9) AS cum_frac
+        FROM h CROSS JOIN tot ORDER BY rank
+    """).fetchall()
+    assert got == [tuple(w) for w in want]
+    # coverage curve is monotone and ends below 1 (unique tokens exist)
+    cums = [g[5] for g in got]
+    assert cums == sorted(cums) and cums[-1] < 1.0
+
+
+def test_top_tokens_bounded_ordered_work(spark):
+    """The only ordered step is TakeOrderedAndProject bounded to k — no
+    global Sort over the full vocabulary."""
+    from jsonschema_spark.operators.text import top_tokens
+
+    plan = (top_tokens(_vocab_docs(spark), k=5)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_oov_stats_exact_and_broadcast(spark):
+    from jsonschema_spark.operators.text import oov_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a"), (1, "c d"), (2, None)], "doc_id int, text string")
+    vocab = spark.createDataFrame([("a",), ("c",), ("zz",)], "token string")
+    q = oov_stats(docs, vocab)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    r = q.collect()[0]
+    # tokens: a,b,c,a,c,d (6); types: a,b,c,d (4); oov: b,d (1 occ each)
+    assert (r["n_tokens"], r["n_types"]) == (6, 4)
+    assert (r["n_oov_tokens"], r["n_oov_types"]) == (2, 2)
+    assert abs(r["oov_token_frac"] - 2 / 6) < 1e-12
+    assert abs(r["oov_type_frac"] - 0.5) < 1e-12

@@ -227,7 +227,7 @@ def main() -> None:
     # 32 MB input splits: the 2.5 GB input would otherwise make a single
     # 32-task wave at local[32], where one GC pause / steal hiccup extends
     # the whole stage; ~80 splits give straggler slack at both levels.
-    b = b.config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+    b = b.config("spark.sql.files.maxPartitionBytes", str(int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "32")) * 1024 * 1024))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
