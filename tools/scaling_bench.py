@@ -191,6 +191,16 @@ def main() -> None:
                          "parallel work. 24 copies put the large-level run "
                          ">=30s so the denominator is work-dominated and "
                          "cannot invert.")
+    ap.add_argument("--calib-agg-groups", type=int, default=8_000_000,
+                    help="group cardinality of the hash-aggregation-shaped "
+                         "calibration (calib_agg): high enough that partial "
+                         "aggregation cannot collapse the shuffle and final-"
+                         "agg state exceeds LLC, matching the suite's "
+                         "uniqueness/sketch memory shape")
+    ap.add_argument("--calib-agg-width", type=int, default=12,
+                    help="aggregate columns per group in calib_agg; sized "
+                         "with --calib-agg-groups so the large-level run "
+                         "stays >=30s (non-invertibility requirement)")
     args = ap.parse_args()
 
     from jsonschema_spark.engine import recommended_conf, validate_table
@@ -320,6 +330,46 @@ def main() -> None:
         calib_steals.append(steal_pct(s0, read_steal()))
         calib_others.append(other_load_pct(l0, read_load()))
 
+    def calib_agg(seed: int, groups: int, width: int) -> float:
+        # Hash-aggregation-shaped ceiling probe (round-4 refinement,
+        # BENCH/SCALING_NOTES_r04.md §3, registered before the final r4
+        # protocol run): the pure-scan calibration under-represents the
+        # suite's memory profile — the suite's dominant cost at the wide
+        # level is RANDOM access to hash-aggregation state (uniqueness
+        # groupBy over ~n distinct ids, HLL/KLL sketch registers), which
+        # hits the single-box DRAM wall far harder than a streaming scan
+        # (platform probe: DRAM stream bandwidth scales 2.9x at 4x threads
+        # while pure CPU scales 4.4x; random access scales worse still).
+        # This probe keeps zero engine code and trivial parallelism (map-
+        # side partial agg + one shuffle, no skew, no joins) but matches
+        # the suite's memory shape: per-column xxhash64 projections
+        # aggregated over a high-cardinality derived key with max() state
+        # plus an HLL (approx_count_distinct) per group.
+        cols = [F.xxhash64(F.col(c), F.lit(seed * 501 + i)).alias(f"h{i}")
+                for i, c in enumerate(fact.columns)]
+        df = fact.select(
+            F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns],
+                              F.lit(seed)), F.lit(groups)).alias("k"),
+            *cols)
+        n_h = len(fact.columns)
+        aggs = [F.max(f"h{i % n_h}").alias(f"m{i}") for i in range(width)]
+        aggs.append(F.approx_count_distinct("h0", 0.01).alias("d"))
+        out = df.groupBy("k").agg(*aggs).agg(F.max("m0"), F.count(F.lit(1)))
+        t0 = time.time()
+        out.collect()
+        return time.time() - t0
+
+    calib_agg(999, 1000, 2)  # JIT/codegen warm-up (shape, not duration)
+    agg_runs, agg_steals, agg_others, agg_mems = [], [], [], []
+    for i in range(args.runs):
+        s0, l0 = read_steal(), read_load()
+        probe.region_start()
+        agg_runs.append(round(calib_agg(i, args.calib_agg_groups,
+                                        args.calib_agg_width), 2))
+        agg_mems.append(probe.region_end())
+        agg_steals.append(steal_pct(s0, read_steal()))
+        agg_others.append(other_load_pct(l0, read_load()))
+
     print(json.dumps({
         "cores": args.cores,
         "n_images": n,
@@ -338,6 +388,13 @@ def main() -> None:
         "calib_copies": args.calib_copies,
         "calib_median_sec": statistics.median(calib_runs),
         "calib_min_sec": min(calib_runs),
+        "calib_agg_runs": agg_runs,
+        "calib_agg_steals": agg_steals,
+        "calib_agg_others": agg_others,
+        "calib_agg_mems": agg_mems,
+        "calib_agg_groups": args.calib_agg_groups,
+        "calib_agg_width": args.calib_agg_width,
+        "calib_agg_median_sec": statistics.median(agg_runs),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }))
     spark.stop()
