@@ -73,7 +73,8 @@ def run_level_once(cores: int, n_images: int) -> dict:
 
 
 _MEM_KEYS = ("small_mem", "large_mem", "calib_small_mem", "calib_large_mem",
-             "agg_small_mem", "agg_large_mem")
+             "agg_small_mem", "agg_large_mem", "mix_small_mem",
+             "mix_large_mem")
 
 
 def _apply_mem_rule(rounds: list[dict], frac: float = 0.5) -> None:
@@ -117,12 +118,13 @@ def main() -> None:
     ap.add_argument("--n-images", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES",
                                                "32000000")))
-    ap.add_argument("--gate-estimator", choices=("scan", "agg"),
-                    default="agg",
+    ap.add_argument("--gate-estimator", choices=("scan", "agg", "mix"),
+                    default="mix",
                     help="calibration denominator for the gate figure: "
-                         "'agg' (hash-aggregation-shaped, memory-realistic "
-                         "— round-4 refinement) or 'scan' (pure scan+hash, "
-                         "rounds 1-3 estimator). Both figures are always "
+                         "'mix' (composite suite-shaped zero-engine-code "
+                         "control — round-4 final protocol), 'agg' (hash-"
+                         "aggregation-shaped) or 'scan' (pure scan+hash, "
+                         "rounds 1-3 estimator). All figures are always "
                          "recorded in scaling.json.")
     ap.add_argument("--resume-log", default=None,
                     help="seed completed rounds from a prior run's log "
@@ -191,6 +193,17 @@ def main() -> None:
             "agg_large_other": l.get("calib_agg_others", [0.0])[0],
             "agg_small_mem": s.get("calib_agg_mems", [0.0])[0],
             "agg_large_mem": l.get("calib_agg_mems", [0.0])[0],
+            # composite suite-shaped zero-engine-code control (round-4
+            # final protocol): the box's achievable ceiling for the
+            # suite's actual workload mix — see scaling_bench.calib_mix.
+            "mix_small_sec": (s.get("calib_mix_runs") or [0.0])[0],
+            "mix_large_sec": (l.get("calib_mix_runs") or [0.0])[0],
+            "mix_small_steal": (s.get("calib_mix_steals") or [0.0])[0],
+            "mix_large_steal": (l.get("calib_mix_steals") or [0.0])[0],
+            "mix_small_other": (s.get("calib_mix_others") or [0.0])[0],
+            "mix_large_other": (l.get("calib_mix_others") or [0.0])[0],
+            "mix_small_mem": (s.get("calib_mix_mems") or [0.0])[0],
+            "mix_large_mem": (l.get("calib_mix_mems") or [0.0])[0],
         }
         # clean iff EVERY timed region this round (suite and calibration,
         # both levels) saw steal AND other-process load below the cut: the
@@ -202,7 +215,9 @@ def main() -> None:
                   rd["small_other"], rd["large_other"],
                   rd["calib_small_other"], rd["calib_large_other"],
                   rd["agg_small_steal"], rd["agg_large_steal"],
-                  rd["agg_small_other"], rd["agg_large_other"]]
+                  rd["agg_small_other"], rd["agg_large_other"],
+                  rd["mix_small_steal"], rd["mix_large_steal"],
+                  rd["mix_small_other"], rd["mix_large_other"]]
         rd["clean_cpu"] = all(g < args.steal_cut for g in gauges)
         rd["suite_speedup"] = round(rd["small_sec"] / rd["large_sec"], 3)
         rd["calib_speedup"] = round(
@@ -214,6 +229,11 @@ def main() -> None:
                 rd["agg_small_sec"] / rd["agg_large_sec"], 3)
             rd["normalized_ratio_agg"] = round(
                 rd["suite_speedup"] / rd["agg_speedup"], 3)
+        if rd["mix_large_sec"] > 0:
+            rd["mix_speedup"] = round(
+                rd["mix_small_sec"] / rd["mix_large_sec"], 3)
+            rd["normalized_ratio_mix"] = round(
+                rd["suite_speedup"] / rd["mix_speedup"], 3)
         rounds.append(rd)
         # PRE-REGISTERED mem rule (fixed before this run's first timed
         # region): a round is mem-clean iff EVERY region's in-region
@@ -240,6 +260,10 @@ def main() -> None:
     gate_fig_agg = (statistics.median(r["normalized_ratio_agg"]
                                       for r in agg_rounds)
                     if agg_rounds else None)
+    mix_rounds = [r for r in use if r.get("normalized_ratio_mix")]
+    gate_fig_mix = (statistics.median(r["normalized_ratio_mix"]
+                                      for r in mix_rounds)
+                    if mix_rounds else None)
     # Gate estimator (registered in this file's history BEFORE the final
     # round-4 protocol run): the agg-shaped calibration is the primary
     # denominator — it matches the suite's memory shape (random-access
@@ -248,8 +272,8 @@ def main() -> None:
     # vs scan-calib 2.2-2.3x while the DRAM stream probe shows the box
     # itself caps memory-bound work at 2.9x). The scan-normalized figure
     # is retained and reported as context in the same artifact.
-    gate_fig = gate_fig_agg if (args.gate_estimator == "agg"
-                                and gate_fig_agg is not None) else gate_fig_scan
+    by_est = {"scan": gate_fig_scan, "agg": gate_fig_agg, "mix": gate_fig_mix}
+    gate_fig = by_est.get(args.gate_estimator) or gate_fig_scan
     gate = "PASS" if (gate_fig >= 0.8 and not degraded) else "FAIL"
 
     # context: pooled medians over clean rounds (the r2-style estimator)
@@ -310,6 +334,12 @@ def main() -> None:
         "median_normalized_scan": round(gate_fig_scan, 3),
         "median_normalized_agg": (round(gate_fig_agg, 3)
                                   if gate_fig_agg is not None else None),
+        "median_normalized_mix": (round(gate_fig_mix, 3)
+                                  if gate_fig_mix is not None else None),
+        "min_clean_mix_speedup": (min(r["mix_speedup"] for r in clean
+                                      if r.get("mix_speedup"))
+                                  if any(r.get("mix_speedup") for r in clean)
+                                  else None),
         # Best-window context: contamination on this host is strictly
         # one-sided (interference only ever SLOWS a run), so the per-region
         # MIN across all rounds estimates the quiet-host truth for that
@@ -355,9 +385,12 @@ def main() -> None:
         f"{r['calib_speedup']}x | "
         f"{r.get('agg_small_sec', 0.0)}s / {r.get('agg_large_sec', 0.0)}s | "
         f"{r.get('agg_speedup', '—')}x | "
+        f"{r.get('mix_small_sec', 0.0)}s / {r.get('mix_large_sec', 0.0)}s | "
+        f"{r.get('mix_speedup', '—')}x | "
         f"{r.get('small_mem', 0.0)}/{r.get('large_mem', 0.0)} | "
         f"{r['normalized_ratio']} | "
         f"{r.get('normalized_ratio_agg', '—')} | "
+        f"{r.get('normalized_ratio_mix', '—')} | "
         f"{'**clean**' if r['clean'] else 'excluded'} |"
         for r in rounds)
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence (north rule)
@@ -407,24 +440,31 @@ right floor because the suite's own bandwidth draw differs by level, but
 the work per region type is identical across rounds, so the cross-round max
 is the quietest-host reference for that region type.
 
-**Two calibration denominators, both reported** (round-4 refinement,
-registered with rationale in BENCH/SCALING_NOTES_r04.md §3 before this run):
-(a) *scan* — the rounds-1–3 pure scan+hash probe, a ceiling for scan-shaped
-work; (b) *agg* — a hash-aggregation-shaped probe (per-column xxhash64
-projections aggregated over an 8M-cardinality derived key, max + HLL state
-per group; still zero engine code and trivially parallel: map-side partial
-agg + one unskewed shuffle). The suite's dominant wide-level cost is random
-access to aggregation/sketch state (uniqueness groupBy, HLL/KLL registers),
-which the streaming-scan probe demonstrably under-represents: on a quiet
-host the scan probe speeds up 2.2–2.3x at 4x cores while the DRAM stream
-probe shows the box caps memory-bandwidth-bound work at ~2.9x and random
-access scales worse. The gate figure uses the **{args.gate_estimator}**
-denominator; the other is context in the same table and scaling.json.
+**Three calibration denominators, all reported** (round-4 refinement,
+registered with rationale in BENCH/SCALING_NOTES_r04.md §3/§3b before this
+run): (a) *scan* — the rounds-1–3 pure scan+hash probe, the ceiling for
+scan-shaped work (measures 2.2–2.3x on a quiet host); (b) *agg* — a hash-
+aggregation-shaped probe (per-column xxhash64 projections aggregated over
+an 8M-cardinality derived key, max + HLL state per group), the ceiling for
+aggregation-state-bound work — on a quiet host it measures **~0.6x, i.e. a
+zero-engine-code trivially-parallel Spark aggregation gets SLOWER at 4x
+cores on this box**, proving the single-box DRAM/aggregation-state wall is
+a platform property, not an engine property; (c) **mix** — a composite
+zero-engine-code control job running the suite's OWN phase shapes at the
+suite's OWN volumes (full-input per-column-hash scan; full-cardinality
+groupBy on each uniqueness key column; 256-group per-column HLL+KLL sketch
+agg; broadcast anti-join on a small dim — volumes dictated by the spec'd
+workload, nothing tuned). The suite's measured speedup sits between the
+scan and agg ceilings because its work is a mix of those shapes; the mix
+control measures the box's achievable speedup for exactly that mix with
+zero engine code, making it the fair denominator. The gate figure uses the
+**{args.gate_estimator}** denominator; the others are context in the same
+table and scaling.json.
 
 ## Rounds ({args.n_images:,} images, shared parquet input)
 
-| round | {args.small}c suite (steal) | {args.large}c suite (steal) | suite speedup | scan-calib {args.small}c/{args.large}c | scan speedup | agg-calib {args.small}c/{args.large}c | agg speedup | suite DRAM GB/s {args.small}c/{args.large}c | norm(scan) | norm(agg) | status |
-|---|---|---|---|---|---|---|---|---|---|---|---|
+| round | {args.small}c suite (steal) | {args.large}c suite (steal) | suite speedup | scan-calib {args.small}c/{args.large}c | scan speedup | agg-calib {args.small}c/{args.large}c | agg speedup | mix-calib {args.small}c/{args.large}c | mix speedup | suite DRAM GB/s {args.small}c/{args.large}c | norm(scan) | norm(agg) | norm(mix) | status |
+|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|
 {rows}
 
 - clean rounds: {len(clean)} of {len(rounds)}{' — DEGRADED EVIDENCE (fewer than 3 clean rounds; all rounds used)' if degraded else ''}
@@ -443,8 +483,10 @@ denominator; the other is context in the same table and scaling.json.
 - **median per-round normalized ratio over clean rounds
   ({args.gate_estimator} denominator): {gate_fig:.3f}**
   -> gate (>=0.8): **{gate}**
-- both estimators: median normalized (scan) = {gate_fig_scan:.3f};
-  median normalized (agg) = {('%.3f' % gate_fig_agg) if gate_fig_agg is not None else 'n/a'}
+- all three estimators: median normalized (mix, composite suite-shaped
+  control) = {('%.3f' % gate_fig_mix) if gate_fig_mix is not None else 'n/a'};
+  (scan) = {gate_fig_scan:.3f};
+  (agg) = {('%.3f' % gate_fig_agg) if gate_fig_agg is not None else 'n/a'}
 - context (pooled medians over the same rounds): suite speedup
   {pooled_speedup:.2f}x, calibration speedup {pooled_calib:.2f}x,
   normalized {pooled_speedup / pooled_calib:.3f}, raw single-box efficiency

@@ -197,10 +197,13 @@ def main() -> None:
                          "aggregation cannot collapse the shuffle and final-"
                          "agg state exceeds LLC, matching the suite's "
                          "uniqueness/sketch memory shape")
-    ap.add_argument("--calib-agg-width", type=int, default=12,
+    ap.add_argument("--calib-agg-width", type=int, default=16,
                     help="aggregate columns per group in calib_agg; sized "
                          "with --calib-agg-groups so the large-level run "
                          "stays >=30s (non-invertibility requirement)")
+    ap.add_argument("--calib-mix-reps", type=int, default=1,
+                    help="repetitions of the composite (suite-shaped, zero-"
+                         "engine-code) calibration; 0 disables it")
     args = ap.parse_args()
 
     from jsonschema_spark.engine import recommended_conf, validate_table
@@ -345,16 +348,24 @@ def main() -> None:
         # the suite's memory shape: per-column xxhash64 projections
         # aggregated over a high-cardinality derived key with max() state
         # plus an HLL (approx_count_distinct) per group.
-        cols = [F.xxhash64(F.col(c), F.lit(seed * 501 + i)).alias(f"h{i}")
-                for i, c in enumerate(fact.columns)]
+        # NB: the aggregate columns must be DISTINCT expressions (distinct
+        # seeds) and the outer reduction must CONSUME every aggregate — a
+        # naive max(h0) tail lets Catalyst prune all other aggregates and
+        # the probe silently degenerates to a scan (measured: 4.3s vs the
+        # real 33s at 32 cores).
+        n_c = len(fact.columns)
+        cols = [F.xxhash64(F.col(fact.columns[i % n_c]),
+                           F.lit(seed * 501 + i)).alias(f"h{i}")
+                for i in range(width)]
         df = fact.select(
             F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns],
                               F.lit(seed)), F.lit(groups)).alias("k"),
             *cols)
-        n_h = len(fact.columns)
-        aggs = [F.max(f"h{i % n_h}").alias(f"m{i}") for i in range(width)]
-        aggs.append(F.approx_count_distinct("h0", 0.01).alias("d"))
-        out = df.groupBy("k").agg(*aggs).agg(F.max("m0"), F.count(F.lit(1)))
+        aggs = [F.max(f"h{i}").alias(f"m{i}") for i in range(width)]
+        aggs.append(F.approx_count_distinct("h0", 0.05).alias("d"))
+        inner = df.groupBy("k").agg(*aggs)
+        out = inner.select(F.xxhash64(*inner.columns).alias("x")).agg(
+            F.max("x"), F.count(F.lit(1)))
         t0 = time.time()
         out.collect()
         return time.time() - t0
@@ -369,6 +380,73 @@ def main() -> None:
         agg_mems.append(probe.region_end())
         agg_steals.append(steal_pct(s0, read_steal()))
         agg_others.append(other_load_pct(l0, read_load()))
+
+    def calib_mix(seed: int, reps: int) -> float:
+        # COMPOSITE roofline control (round-4 final protocol): a zero-
+        # engine-code Spark job doing the SAME scans and the SAME
+        # aggregations as the suite, with trivial state and no engine —
+        # its 8->32 speedup is the box's achievable ceiling for THIS
+        # workload mix. The pure-scan probe under-represents the suite's
+        # memory profile and the 8M-group agg probe over-represents it
+        # (measured: scan 2.2-2.3x, agg 0.6x, suite 1.5-1.9x — the suite
+        # sits between its shapes' ceilings). Phase volumes are dictated
+        # by the suite's spec, not tuned:
+        #   (a) full-input scan + per-column hash (the fused projection's
+        #       scan volume: every spec'd column, 1 pass);
+        #   (b) uniqueness-shaped aggs: groupBy over the two key columns'
+        #       full cardinality (~n groups each for image_id and phash,
+        #       count state) — the uniqueness pass's exact shape;
+        #   (c) sketch-shaped agg: 256 partition groups x per-column HLL
+        #       (approx_count_distinct) + KLL (percentile_approx) on the
+        #       numeric columns — the stats pass's exact shape;
+        #   (d) broadcast anti-join against a small dim — the referential
+        #       pass's shape (cheap, included for mix completeness).
+        # All phases trivially parallel (map-side partial agg + unskewed
+        # shuffles, no windows, no engine code), run sequentially.
+        t0 = time.time()
+        for r in range(reps):
+            sd = seed * 7919 + r
+            # (a) scan + hash every column
+            cols = [F.xxhash64(F.col(c), F.lit(sd + i))
+                    for i, c in enumerate(fact.columns)]
+            fact.select(F.xxhash64(*cols).alias("h")).agg(
+                F.max("h"), F.count(F.lit(1))).collect()
+            # (b) uniqueness shape: full-cardinality groupBy per key column
+            for kc in ("image_id", "phash"):
+                (fact.groupBy(F.xxhash64(F.col(kc), F.lit(sd)).alias("k"))
+                     .agg(F.count(F.lit(1)).alias("c"))
+                     .where(F.col("c") > 1).agg(F.count(F.lit(1)), F.max("c"))
+                     .collect())
+            # (c) stats shape: 256 groups x HLL on every column + KLL on
+            # the numerics
+            hlls = [F.approx_count_distinct(c).alias(f"d_{c}")
+                    for c in fact.columns]
+            klls = [F.percentile_approx(c, [0.01, 0.5, 0.99], 2000).alias(f"q_{c}")
+                    for c in fact.columns
+                    if dict(fact.dtypes)[c] in ("int", "bigint", "double", "float")]
+            g = (fact.groupBy(F.pmod(F.xxhash64("image_id", F.lit(sd)),
+                                     F.lit(256)).alias("p"))
+                     .agg(*hlls, *klls))
+            g.select(F.xxhash64(*g.columns).alias("x")).agg(
+                F.max("x"), F.count(F.lit(1))).collect()
+            # (d) referential shape: broadcast anti-join on a small dim
+            from pyspark.sql import Row
+            dim = spark.createDataFrame(
+                [Row(fmt=x) for x in ("png", "jpeg", "bmp", "gif", "webp")])
+            (fact.join(F.broadcast(dim), "fmt", "left_anti")
+                 .agg(F.count(F.lit(1))).collect())
+        return time.time() - t0
+
+    mix_runs, mix_steals, mix_others, mix_mems = [], [], [], []
+    if args.calib_mix_reps > 0:
+        calib_mix(998, 1)  # JIT/codegen warm-up, discarded
+        for i in range(args.runs):
+            s0, l0 = read_steal(), read_load()
+            probe.region_start()
+            mix_runs.append(round(calib_mix(i, args.calib_mix_reps), 2))
+            mix_mems.append(probe.region_end())
+            mix_steals.append(steal_pct(s0, read_steal()))
+            mix_others.append(other_load_pct(l0, read_load()))
 
     print(json.dumps({
         "cores": args.cores,
@@ -395,6 +473,11 @@ def main() -> None:
         "calib_agg_groups": args.calib_agg_groups,
         "calib_agg_width": args.calib_agg_width,
         "calib_agg_median_sec": statistics.median(agg_runs),
+        "calib_mix_runs": mix_runs,
+        "calib_mix_steals": mix_steals,
+        "calib_mix_others": mix_others,
+        "calib_mix_mems": mix_mems,
+        "calib_mix_reps": args.calib_mix_reps,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }))
     spark.stop()
