@@ -109,26 +109,27 @@ def _detailed(units: list[dict[str, Any]]) -> dict[str, Any]:
     if len(units) == 1:
         return units[0]
 
-    root: dict[str, Any] = {"kids": {}, "leaf": None}
+    root: dict[str, Any] = {"kids": {}, "leaves": []}
     for u in units:
         segs = [s for s in u["keywordLocation"].split("/") if s != ""]
         node = root
         for s in segs:
-            node = node["kids"].setdefault(s, {"kids": {}, "leaf": None})
-        node["leaf"] = u
+            node = node["kids"].setdefault(s, {"kids": {}, "leaves": []})
+        # the same keywordLocation can fire at several instance locations
+        # (e.g. items/type for two bad array elements) — keep every leaf
+        node["leaves"].append(u)
 
     def emit(node: dict[str, Any], prefix: str) -> dict[str, Any]:
-        # collapse single-child chains with no leaf at this node
-        while node["leaf"] is None and len(node["kids"]) == 1:
+        # collapse single-child chains with no leaves at this node
+        while not node["leaves"] and len(node["kids"]) == 1:
             (seg, child), = node["kids"].items()
             prefix = f"{prefix}/{seg}"
             node = child
-        if node["leaf"] is not None and not node["kids"]:
-            return node["leaf"]
-        children = [emit(c, f"{prefix}/{s}")
-                    for s, c in sorted(node["kids"].items())]
-        if node["leaf"] is not None:
-            children.insert(0, node["leaf"])
+        if len(node["leaves"]) == 1 and not node["kids"]:
+            return node["leaves"][0]
+        children = list(node["leaves"])
+        children += [emit(c, f"{prefix}/{s}")
+                     for s, c in sorted(node["kids"].items())]
         inst = _common_instance(children)
         return {"valid": False, "keywordLocation": prefix,
                 "instanceLocation": inst, "errors": children}
