@@ -27,6 +27,38 @@ _SUBSCHEMA_KEYS = ("not", "if", "then", "else", "contains", "propertyNames",
                    "additionalProperties", "additionalItems", "items",
                    "unevaluatedProperties", "unevaluatedItems", "contentSchema")
 
+# Every keyword the union surface interprets, plus the spec's annotation
+# keywords (legal, inert here). Used ONLY for the typo detector: an unknown
+# key warns IFF it is edit-distance-close to one of these — arbitrary
+# custom annotations stay silent (they are legal JSON Schema).
+_KNOWN_KEYWORDS = frozenset({
+    # core / identifiers
+    "$schema", "$id", "id", "$ref", "$dynamicRef", "$anchor",
+    "$dynamicAnchor", "$defs", "definitions", "$vocabulary", "$comment",
+    # annotations (inert by design)
+    "title", "description", "default", "examples", "deprecated",
+    "readOnly", "writeOnly",
+    # assertions — number/string
+    "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "divisibleBy", "minLength",
+    "maxLength", "pattern", "format", "contentEncoding",
+    "contentMediaType", "contentSchema",
+    # arrays
+    "items", "prefixItems", "additionalItems", "minItems", "maxItems",
+    "uniqueItems", "contains", "minContains", "maxContains",
+    "unevaluatedItems",
+    # objects
+    "properties", "patternProperties", "additionalProperties",
+    "propertyNames", "required", "minProperties", "maxProperties",
+    "dependencies", "dependentRequired", "dependentSchemas",
+    "unevaluatedProperties",
+    # combinators / conditionals / d3
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else", "extends",
+    "disallow",
+    # engine extensions
+    "x-table-checks", "x-json",
+})
+
 
 def lint_spec(schema: dict[str, Any] | bool) -> list[Finding]:
     out: list[Finding] = []
@@ -102,6 +134,26 @@ def _walk(s: Any, path: str, out: list[Finding]) -> None:
         err("enum is empty: no value can validate")
     if "const" in s and isinstance(s.get("enum"), list) and s["const"] not in s["enum"]:
         err("const is not a member of enum: unsatisfiable conjunction")
+
+    # --- typo detection + vocabulary declarations (warnings) -------------
+    # an unknown key close in spelling to a real keyword is almost always a
+    # typo that silently validates nothing ("minimumm": every row passes);
+    # unknown keys with no close match are legal custom annotations — silent
+    import difflib
+    for k in s:
+        if k in _KNOWN_KEYWORDS or k.startswith("x-") or not isinstance(k, str):
+            continue
+        close = difflib.get_close_matches(k, _KNOWN_KEYWORDS, n=1, cutoff=0.85)
+        if close:
+            warn(f"unknown keyword {k!r} is ignored by this engine — "
+                 f"did you mean {close[0]!r}?")
+    voc = s.get("$vocabulary")
+    if isinstance(voc, dict):
+        required = [u for u, req in voc.items() if req is True]
+        if required:
+            warn("$vocabulary declarations are not enforced: keywords are "
+                 "interpreted per this engine's draft-3..2020-12 union "
+                 f"surface ({len(required)} vocabularies declared required)")
 
     # --- inert / suspicious (warnings) -----------------------------------
     if ("then" in s or "else" in s) and "if" not in s:
@@ -215,6 +267,10 @@ def _walk(s: Any, path: str, out: list[Finding]) -> None:
     if isinstance(items, list):
         for i, sub in enumerate(items):
             _walk(sub, f"{path}/items/{i}", out)
+    pitems = s.get("prefixItems")
+    if isinstance(pitems, list):
+        for i, sub in enumerate(pitems):
+            _walk(sub, f"{path}/prefixItems/{i}", out)
     deps = s.get("dependencies")
     if isinstance(deps, dict):
         for name, sub in deps.items():

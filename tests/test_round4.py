@@ -979,3 +979,28 @@ def test_oov_stats_exact_and_broadcast(spark):
     assert (r["n_oov_tokens"], r["n_oov_types"]) == (2, 2)
     assert abs(r["oov_token_frac"] - 2 / 6) < 1e-12
     assert abs(r["oov_type_frac"] - 0.5) < 1e-12
+
+
+# ---------------------------------------------------- lint round-4 additions
+def test_lint_typo_and_vocabulary_warnings():
+    from jsonschema_spark.lint import lint_spec
+
+    # close-match typo warns with a suggestion
+    f = lint_spec({"properties": {"n": {"minimumm": 5}}})
+    assert any(sev == "warning" and "minimumm" in msg and "'minimum'" in msg
+               for sev, _, msg in f)
+    # distant unknown keys are legal annotations — silent
+    assert lint_spec({"properties": {"n": {"myCustomAnnotation": 1}}}) == []
+    # property NAMES are never scanned as keywords
+    assert lint_spec({"properties": {"tyep": {"type": "string"}}}) == []
+    # x- extensions are silent
+    assert lint_spec({"x-myext": True}) == []
+    # $vocabulary required-true warns once
+    f = lint_spec({"$vocabulary": {
+        "https://json-schema.org/draft/2020-12/vocab/validation": True,
+        "https://json-schema.org/draft/2020-12/vocab/format-annotation": False,
+    }})
+    assert sum("vocabulary" in m for _, _, m in f) == 1
+    # prefixItems subschemas are walked (inverted bound caught inside)
+    f = lint_spec({"prefixItems": [{"minimum": 9, "maximum": 1}]})
+    assert any(sev == "error" and p == "/prefixItems/0" for sev, p, _ in f)
