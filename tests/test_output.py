@@ -127,8 +127,83 @@ class TestOutputFormats:
 
     def test_unsupported_format_raises(self):
         try:
-            output({}, {}, "verbose")
+            output({}, {}, "exhaustive")
         except ValueError as e:
-            assert "verbose" in str(e)
+            assert "exhaustive" in str(e)
         else:
             raise AssertionError("expected ValueError")
+
+
+class TestVerbose:
+    def test_valid_doc_full_tree(self):
+        schema = {"type": "object", "required": ["a"],
+                  "properties": {"a": {"type": "integer", "minimum": 0}}}
+        out = output({"a": 3}, schema, "verbose")
+        assert out["valid"] is True
+        assert out["keywordLocation"] == "" and out["instanceLocation"] == ""
+        units = {u["keywordLocation"]: u for u in out["annotations"]}
+        assert units["/type"]["valid"] is True
+        assert units["/required"]["instanceLocation"] == "/a"
+        a = units["/properties/a"]
+        assert a["valid"] is True and a["instanceLocation"] == "/a"
+        akids = {u["keywordLocation"] for u in a["annotations"]}
+        assert akids == {"/properties/a/type", "/properties/a/minimum"}
+
+    def test_invalid_leaf_carries_error_valid_siblings_do_not(self):
+        schema = {"properties": {"a": {"type": "integer", "minimum": 10}}}
+        out = output({"a": 3}, schema, "verbose")
+        assert out["valid"] is False
+        a = out["errors"][0]
+        assert a["keywordLocation"] == "/properties/a"
+        by_kloc = {u["keywordLocation"]: u for u in a["errors"]}
+        assert by_kloc["/properties/a/type"]["valid"] is True
+        assert "error" not in by_kloc["/properties/a/type"]
+        bad = by_kloc["/properties/a/minimum"]
+        assert bad["valid"] is False and "minimum" in bad["error"]
+
+    def test_type_gated_units_are_omitted(self):
+        # minimum is never applied to a string instance, so no unit appears
+        out = output("x", {"minimum": 5, "minLength": 1}, "verbose")
+        klocs = {u["keywordLocation"] for u in out["annotations"]}
+        assert klocs == {"/minLength"}
+
+    def test_items_units_per_index(self):
+        out = output([1, "x"], {"items": {"type": "integer"}}, "verbose")
+        assert out["valid"] is False
+        il = [(u["instanceLocation"], u["valid"]) for u in out["errors"]]
+        assert il == [("/0", True), ("/1", False)]
+
+    def test_if_unit_records_branch_outcome_without_error(self):
+        schema = {"if": {"minimum": 10}, "then": {"multipleOf": 2}}
+        out = output(11, schema, "verbose")
+        units = {u["keywordLocation"]: u for u in out["errors"]}
+        assert units["/if"]["valid"] is True and "error" not in units["/if"]
+        assert units["/then"]["valid"] is False
+        # if fails: no then unit, tree valid
+        out2 = output(3, schema, "verbose")
+        assert out2["valid"] is True
+        klocs = {u["keywordLocation"] for u in out2["annotations"]}
+        assert klocs == {"/if"}
+        (ifu,) = out2["annotations"]
+        assert ifu["valid"] is False and "error" not in ifu
+
+    def test_allof_branches_nest(self):
+        schema = {"allOf": [{"minimum": 10}, {"multipleOf": 7}]}
+        out = output(3, schema, "verbose")
+        assert out["valid"] is False
+        by_kloc = {u["keywordLocation"]: u for u in out["errors"]}
+        b0 = by_kloc["/allOf/0"]
+        assert b0["valid"] is False
+        assert b0["errors"][0]["keywordLocation"] == "/allOf/0/minimum"
+        b1 = by_kloc["/allOf/1"]
+        assert b1["valid"] is False
+
+    def test_combinators_stay_leaves(self):
+        out = output("z", {"anyOf": [{"enum": ["a"]}, {"type": "integer"}]},
+                     "verbose")
+        (u,) = out["errors"]
+        assert u["keywordLocation"] == "/anyOf" and u["valid"] is False
+
+    def test_verbose_json_round_trips(self):
+        s = output_json([1, "x"], {"items": {"type": "integer"}}, "verbose")
+        assert json.loads(s)["valid"] is False

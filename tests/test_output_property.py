@@ -80,6 +80,44 @@ def test_output_invariants(doc):
     assert len(leaves(detailed)) == len(units)
 
 
+def verbose_invalid_leaves(unit):
+    """(kloc, iloc) of every invalid unit with no invalid children — the
+    error leaves of the verbose tree (`if` outcome units excluded: they
+    carry no error key by contract)."""
+    kids = unit.get("errors", []) or unit.get("annotations", [])
+    out = []
+    for u in kids:
+        out.extend(verbose_invalid_leaves(u))
+    if not out and not unit["valid"] and "error" in unit:
+        out = [(unit["keywordLocation"], unit["instanceLocation"])]
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(docs)
+def test_verbose_invariants(doc):
+    """The verbose tree's root validity equals is_valid, its invalid error
+    leaves are EXACTLY the basic format's violations (same multiset of
+    (keywordLocation, instanceLocation)), and every unit has the three
+    mandatory fields."""
+    viols = validate(doc, SCHEMA)
+    tree = output(doc, SCHEMA, "verbose")
+    assert tree["valid"] == (not viols)
+    assert tree["keywordLocation"] == "" and tree["instanceLocation"] == ""
+
+    got = sorted(verbose_invalid_leaves(tree))
+    want = sorted((v.kloc, v.path) for v in viols)
+    assert got == want
+
+    def walk(u):
+        assert set(u) >= {"valid", "keywordLocation", "instanceLocation"}
+        if u["valid"]:
+            assert "error" not in u and "errors" not in u
+        for c in u.get("errors", []) + u.get("annotations", []):
+            walk(c)
+    walk(tree)
+
+
 @settings(max_examples=100, deadline=None)
 @given(docs)
 def test_kloc_is_pure_annotation(doc):
