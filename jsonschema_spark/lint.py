@@ -65,7 +65,34 @@ def lint_spec(schema: dict[str, Any] | bool) -> list[Finding]:
     _walk(schema, "", out)
     if isinstance(schema, dict):
         _lint_refs(schema, out)
+        _lint_meta(schema, out)
     return out
+
+
+def _lint_meta(root: dict[str, Any], out: list[Finding]) -> None:
+    """Validate the spec against its meta-schema with the engine's own E1
+    evaluator (metaschema.py): catches malformed keyword SHAPES the parser
+    handles worst — some raise raw TypeErrors deep in parse_node
+    ({"pattern": 5}), some are silently accepted and then check nothing
+    ({"minimum": "5"}, {"enum": "x"}) — the most expensive typo class at
+    fact scale. Meta selection follows $schema (draft-04/07 published
+    metas) and falls back to the engine's union-surface DIALECT meta, so
+    legal dialect mixing never false-positives."""
+    from .local import validate as _validate
+    from .metaschema import meta_for
+
+    meta, name = meta_for(root)
+    try:
+        violations = _validate(root, meta)
+    except TypeError as e:
+        # a spec loaded from JSON cannot hit this; a programmatically built
+        # dict with non-JSON values (functions, bytes, ...) can
+        out.append(("error", "/", f"spec is not a JSON document: {e}"))
+        return
+    for v in violations:
+        out.append(("error", v.path or "/",
+                    f"spec does not validate against the {name} "
+                    f"meta-schema: {v.keyword} (meta location {v.kloc})"))
 
 
 def _lint_refs(root: dict[str, Any], out: list[Finding]) -> None:

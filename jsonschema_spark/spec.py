@@ -16,6 +16,7 @@ referential / drift — SURVEY.md §2 Part B, BASELINE.json north_rule).
 
 from __future__ import annotations
 
+import json as _json
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -40,6 +41,17 @@ RECURSIVE_UNROLL = 8
 
 class SpecError(ValueError):
     """Malformed constraint spec."""
+
+
+# Memo for $ref expansion, active during one top-level parse()/parse_node()
+# call (driver-side, single-threaded). Without it a schema with R ref sites
+# back to a cycle unrolls as an R^RECURSIVE_UNROLL node TREE (a meta-schema
+# with ~35 "#" sites would need 35^8 nodes); with it, expansion is keyed by
+# (target identity, merged siblings, per-pointer cycle COUNTS) and the
+# result is a shared DAG — SpecNodes are frozen, so sharing is safe. Stack
+# ORDER is irrelevant to semantics: truncation tests ref_stack.count(ptr)
+# and depth equals the count sum, both order-insensitive.
+_REF_MEMO: dict[tuple, "SpecNode"] | None = None
 
 
 @dataclass(frozen=True)
@@ -274,7 +286,15 @@ def parse(schema: dict[str, Any] | bool) -> Spec:
         schema = {"not": {}}
     if not isinstance(schema, dict):
         raise SpecError(f"schema must be an object, got {type(schema).__name__}")
-    root = _parse_node(schema, schema, depth=0, ref_stack=())
+    global _REF_MEMO
+    fresh_memo = _REF_MEMO is None
+    if fresh_memo:
+        _REF_MEMO = {}
+    try:
+        root = _parse_node(schema, schema, depth=0, ref_stack=())
+    finally:
+        if fresh_memo:
+            _REF_MEMO = None
     tc = schema.get("x-table-checks", {}) or {}
     table_checks = TableChecks(
         unique=tuple(tuple(k) for k in tc.get("unique", [])),
@@ -319,7 +339,15 @@ def parse_node(schema: dict[str, Any] | bool) -> SpecNode:
         return SpecNode()
     if schema is False:
         return SpecNode(not_=SpecNode())
-    return _parse_node(schema, schema, depth=0, ref_stack=())
+    global _REF_MEMO
+    fresh_memo = _REF_MEMO is None
+    if fresh_memo:
+        _REF_MEMO = {}
+    try:
+        return _parse_node(schema, schema, depth=0, ref_stack=())
+    finally:
+        if fresh_memo:
+            _REF_MEMO = None
 
 
 def _sub(v: Any, root: dict, depth: int, ref_stack: tuple[str, ...] = (),
@@ -382,7 +410,24 @@ def _parse_node(
                 if k in ("$id", "id"):
                     continue
                 merged.setdefault(k, v)
-        return _parse_node(merged, new_root, depth + 1, ref_stack + (ptr,), doc_root)
+        # memoized expansion (see _REF_MEMO): key by resolved target +
+        # sibling keywords + per-pointer cycle counts. id() keys are stable
+        # here because the parse holds strong references to both roots for
+        # the memo's whole lifetime (one top-level parse call).
+        key = None
+        if _REF_MEMO is not None:
+            counts = tuple(sorted(
+                (p, ref_stack.count(p)) for p in set(ref_stack + (ptr,))))
+            sibs = {k: v for k, v in s.items() if k not in ("$ref", "$dynamicRef")}
+            sib_key = _json.dumps(sibs, sort_keys=True, default=repr) if sibs else ""
+            key = (id(root), id(doc_root), ptr, sib_key, counts)
+            hit = _REF_MEMO.get(key)
+            if hit is not None:
+                return hit
+        node = _parse_node(merged, new_root, depth + 1, ref_stack + (ptr,), doc_root)
+        if key is not None:
+            _REF_MEMO[key] = node
+        return node
 
     kw: dict[str, Any] = {}
     meta = {k: s[k] for k in METADATA_KEYWORDS & s.keys() if k != "x-table-checks"}

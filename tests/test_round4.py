@@ -211,6 +211,114 @@ def test_lint_flagship_spec_clean():
     assert errors == []
 
 
+# ----------------------------- meta-schema validation in lint (round 4)
+
+def test_metaschemas_self_validate():
+    """Each bundled meta validates against itself, and the engine DIALECT
+    meta admits the published drafts' metas as specs (it is a union)."""
+    from jsonschema_spark.local import validate
+    from jsonschema_spark.metaschema import DIALECT, DRAFT4, DRAFT7
+
+    for m in (DRAFT4, DRAFT7, DIALECT):
+        assert validate(m, m) == []
+    assert validate(DRAFT7, DIALECT) == []
+    assert validate(DRAFT4, DIALECT) == []
+
+
+def test_lint_meta_catches_malformed_keyword_shapes():
+    """The junk class the parser handles worst: silently-accepted inert
+    bounds ({"minimum": "5"}, {"enum": "x"}) and raw-TypeError shapes
+    ({"pattern": 5}) all get a meta-schema lint ERROR with the offending
+    path."""
+    from jsonschema_spark.lint import lint_spec
+
+    cases = {
+        "/minimum": {"minimum": "5"},
+        "/enum": {"enum": "x"},
+        "/pattern": {"pattern": 5},
+        "/required": {"required": 3},
+        "/properties/a/minLength": {"properties": {"a": {"minLength": -1}}},
+    }
+    for path, spec in cases.items():
+        metas = [f for f in lint_spec(spec)
+                 if f[0] == "error" and "meta-schema" in f[2]]
+        assert metas, f"missed: {spec}"
+        assert metas[0][1] == path
+
+
+def test_lint_meta_dialect_mixing_stays_clean():
+    """Legal union-surface forms (d3 boolean required, schemas embedded in
+    type arrays, d4 boolean exclusiveMinimum, string dependencies, type
+    'any') must NOT false-positive against the dialect meta."""
+    from jsonschema_spark.lint import lint_spec
+
+    for spec in ({"required": True},
+                 {"type": ["string", {"minimum": 5}]},
+                 {"exclusiveMinimum": True, "minimum": 3},
+                 {"dependencies": {"a": "b"}},
+                 {"type": "any"},
+                 {"prefixItems": [{"type": "integer"}], "items": False}):
+        assert not [f for f in lint_spec(spec) if "meta-schema" in f[2]], spec
+
+
+def test_lint_meta_follows_dollar_schema():
+    """$schema selects the published meta: the d4 boolean exclusiveMinimum
+    form passes under draft-04 but fails under draft-07 (where it must be
+    a number)."""
+    from jsonschema_spark.lint import lint_spec
+
+    d4 = {"$schema": "http://json-schema.org/draft-04/schema#",
+          "exclusiveMinimum": True, "minimum": 3}
+    assert not [f for f in lint_spec(d4) if "meta-schema" in f[2]]
+    d7 = {"$schema": "http://json-schema.org/draft-07/schema#",
+          "exclusiveMinimum": True, "minimum": 3}
+    bad = [f for f in lint_spec(d7) if "meta-schema" in f[2]]
+    assert bad and bad[0][1] == "/exclusiveMinimum"
+    assert "draft-07" in bad[0][2]
+
+
+def test_ref_memo_makes_recursive_meta_parse_linear():
+    """A schema with many ref sites back to a cycle must parse as a shared
+    DAG, not an unrolled tree: before the $ref expansion memo, parsing the
+    draft-07 meta-schema (~35 '#' sites x unroll 8) did not terminate in
+    minutes; with it, well under a second."""
+    import time
+
+    from jsonschema_spark.metaschema import DIALECT, DRAFT7
+    from jsonschema_spark.spec import parse_node
+
+    t0 = time.time()
+    parse_node(DRAFT7)
+    parse_node(DIALECT)
+    assert time.time() - t0 < 5.0
+
+    # memo must not leak across parses: same schema parses equal both times
+    from jsonschema_spark.local import validate
+    assert validate({"minimum": "5"}, DRAFT7) == validate({"minimum": "5"}, DRAFT7)
+
+
+def test_ref_memo_preserves_cycle_semantics():
+    """Memoized expansion keeps the unroll-then-permissive contract: a
+    linked list validates at every depth within RECURSIVE_UNROLL and is
+    accepted permissively past it."""
+    from jsonschema_spark.local import is_valid
+    from jsonschema_spark.spec import RECURSIVE_UNROLL
+
+    ll = {"properties": {"v": {"type": "integer"}, "next": {"$ref": "#"}}}
+
+    def chain(depth, bad_at=None):
+        node = {"v": "BAD" if bad_at == depth else depth}
+        for d in range(depth - 1, -1, -1):
+            node = {"v": "BAD" if bad_at == d else d, "next": node}
+        return node
+
+    assert is_valid(chain(RECURSIVE_UNROLL + 2), ll)
+    for bad in (0, 3, RECURSIVE_UNROLL - 1):
+        assert not is_valid(chain(RECURSIVE_UNROLL - 1, bad_at=bad), ll)
+    # beyond the unroll horizon: permissive (documented delta)
+    assert is_valid(chain(RECURSIVE_UNROLL + 2, bad_at=RECURSIVE_UNROLL + 1), ll)
+
+
 # --------------------------------- fidelity-ref join strategies (V#8)
 
 def test_fidelity_ref_join_strategies_agree(spark):
