@@ -363,6 +363,16 @@ def main() -> None:
                    / min(r["calib_large_sec"] for r in rounds)), 3),
         },
         "mem_frac": args.mem_frac,
+        # north-rule reporting: validated images/sec at BOTH parallelism
+        # levels (the rule's metric), alongside the efficiency figures.
+        "throughput_img_per_sec": {
+            "median_small": round(args.n_images / med("small_sec", use)),
+            "median_large": round(args.n_images / med("large_sec", use)),
+            "best_small": round(
+                args.n_images / min(r["small_sec"] for r in rounds)),
+            "best_large": round(
+                args.n_images / min(r["large_sec"] for r in rounds)),
+        },
         "context_pooled_over_used_rounds": {
             "suite_speedup": round(pooled_speedup, 3),
             "calib_speedup": round(pooled_calib, 3),
@@ -487,6 +497,12 @@ table and scaling.json.
   control) = {('%.3f' % gate_fig_mix) if gate_fig_mix is not None else 'n/a'};
   (scan) = {gate_fig_scan:.3f};
   (agg) = {('%.3f' % gate_fig_agg) if gate_fig_agg is not None else 'n/a'}
+- **throughput (validated images/sec, full suite)**: median over used
+  rounds {result['throughput_img_per_sec']['median_small']:,}/s at
+  {args.small} cores vs {result['throughput_img_per_sec']['median_large']:,}/s
+  at {args.large} cores; best window
+  {result['throughput_img_per_sec']['best_small']:,}/s vs
+  {result['throughput_img_per_sec']['best_large']:,}/s.
 - context (pooled medians over the same rounds): suite speedup
   {pooled_speedup:.2f}x, calibration speedup {pooled_calib:.2f}x,
   normalized {pooled_speedup / pooled_calib:.3f}, raw single-box efficiency
