@@ -24,10 +24,28 @@ from pyspark.sql import functions as F
 
 from . import __version__
 
+# part_id is stored as STRING — the universal partition-key encoding (the
+# same choice hive-style partition paths make): the fact table's partition
+# column may be int (part_id), string (fmt, o_orderpriority) or date, and
+# the lineage record must carry any of them. filter_pending converts the
+# done-list back to the fact column's own type driver-side, so the resume
+# predicate stays a typed IN-list the parquet scan can prune on.
 MANIFEST_SCHEMA = (
-    "part_id int, pass_id string, status string, n_rows long, n_violations long, "
+    "part_id string, pass_id string, status string, n_rows long, n_violations long, "
     "wall_ms double, engine_version string, ts double"
 )
+
+_INT_TYPENAMES = ("integer", "long", "short", "byte")
+
+
+def _native_part(v):
+    """Manifest part_id (string) -> int when it round-trips, else string."""
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return v
 
 # Below this many done partitions, resume uses an IN-list filter that
 # partition-prunes the scan; above it, an anti-join (SURVEY.md B7).
@@ -50,10 +68,12 @@ class Manifest:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
         return self.spark.read.parquet(self._rows_dir)
 
-    def completed_parts(self, pass_id: str) -> list[int]:
+    def completed_parts(self, pass_id: str) -> list:
+        """Done part keys, as int where the stored string round-trips
+        (the common part_id case), else as the raw string."""
         df = self.read()
         return [
-            r.part_id
+            _native_part(r.part_id)
             for r in df.where((F.col("pass_id") == pass_id) & (F.col("status") == "done"))
             .select("part_id").distinct().collect()
         ]
@@ -63,7 +83,7 @@ class Manifest:
         now = time.time()
         payload = [
             {
-                "part_id": int(r["part_id"]),
+                "part_id": None if r["part_id"] is None else str(r["part_id"]),
                 "pass_id": str(r["pass_id"]),
                 "status": r.get("status", "done"),
                 "n_rows": int(r.get("n_rows", 0)),
@@ -88,8 +108,18 @@ class Manifest:
         done = self.completed_parts(pass_id)
         if not done:
             return fact
+        # Convert the done-list to the FACT column's own type so the
+        # predicate/join key is typed (no implicit column cast that would
+        # block parquet filter pushdown on the partition column).
+        dt = fact.schema[part_col].dataType
+        tname = dt.typeName()
+        if tname in _INT_TYPENAMES:
+            done = [int(d) for d in done]
+        elif tname == "string":
+            done = [str(d) for d in done]
         if len(done) <= PRUNE_LIST_MAX:
             # IN-list → Catalyst partition-prunes the parquet scan entirely.
             return fact.where(~F.col(part_col).isin(done))
-        done_df = self.spark.createDataFrame([(d,) for d in done], f"{part_col} int")
+        done_df = self.spark.createDataFrame(
+            [(d,) for d in done], f"{part_col} {dt.simpleString()}")
         return fact.join(done_df, part_col, "left_anti")

@@ -111,3 +111,53 @@ def test_kill_and_resume(spark, workspace):
     again = run_job(spark, ws, "man_half", "out_half", resume=True)
     assert again["status"] == "nothing-to-do"
     assert violations_set(spark, str(ws / "out_half" / "violations")) == ref
+
+
+def test_string_partition_column(spark, tmp_path):
+    """A string partition column (fmt, o_orderpriority, ...) must work
+    end-to-end: manifest record, resume filter (typed IN-list), CLI job.
+    Regression: the manifest used to cast part_id with int() and crashed
+    on '5-LOW'."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    (
+        spark.range(200)
+        .select(
+            F.concat(F.lit("img-"), F.col("id")).alias("image_id"),
+            (F.col("id") % 7).cast("int").alias("v"),
+            F.element_at(
+                F.array(F.lit("alpha"), F.lit("beta"), F.lit("5-LOW")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("grp"),
+        )
+        .write.parquet(table)
+    )
+    spec = {"type": "object",
+            "properties": {"v": {"type": "integer", "minimum": 1}},
+            "required": ["v"]}
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+
+    args = ["--table", table, "--spec", spec_path,
+            "--manifest", str(tmp_path / "man"),
+            "--out", str(tmp_path / "out"),
+            "--key-col", "image_id", "--part-col", "grp"]
+    first = job.run(args, spark=spark)
+    assert first["status"] == "ok"
+    assert first["n_partitions"] == 3
+    assert first["n_rows"] == 200
+
+    man = Manifest(spark, str(tmp_path / "man"))
+    assert sorted(man.completed_parts("full")) == ["5-LOW", "alpha", "beta"]
+
+    # resume is a no-op — and the pending filter is a typed string IN-list
+    again = job.run(args + ["--resume"], spark=spark)
+    assert again["status"] == "nothing-to-do"
+
+    fact = spark.read.parquet(table)
+    pending = man.filter_pending(fact, "full", part_col="grp")
+    assert pending.count() == 0
+    plan = pending._jdf.queryExecution().executedPlan().toString()
+    assert "cast(grp" not in plan.lower()  # no column cast blocking pushdown

@@ -175,7 +175,7 @@ def test_resume_summary_counts_only_pending_partitions(spark, tmp_path):
 
     man = Manifest(spark, manifest)
     rows = man.read().collect()
-    keep = [r.asDict() for r in rows if r.part_id not in (0, 1)]
+    keep = [r.asDict() for r in rows if int(r.part_id) not in (0, 1)]
     import shutil
 
     shutil.rmtree(manifest)
