@@ -1377,29 +1377,68 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# --- seeded affine-mix constants for the md5-twin MinHash oracles ---------
+# Two-stage oracle hash (round 4 perf): ONE md5 per shingle row, then the 64
+# per-k hashes are cheap affine mixes hash_k = (a_k*h + b_k) % P of the
+# md5-derived base h — instead of 64 md5(concat(k, shingle)) calls per
+# shingle in BOTH engines (the r3 scheme; 64x the string-hash work for no
+# extra oracle power). h is the low-60-bit md5 value reduced mod 2^30 and
+# P is the largest prime below 2^30, so a_k*h + b_k < 2^60 and every
+# intermediate is wraparound-free identical arithmetic in Spark longs and
+# DuckDB BIGINTs (DuckDB *raises* on BIGINT overflow — staying under 2^63
+# is a correctness requirement, not a nicety).
+_MIX_P = 1073741789          # largest prime < 2^30
+_MIX_M = 1 << 30             # base-hash reduction modulus
+
+
+def _mix_consts(num_hashes: int = 64) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(20260819)  # fixed seed: constants are part of the spec
+    return [(rng.randrange(1, _MIX_P), rng.randrange(_MIX_P))
+            for _ in range(num_hashes)]
+
+
+_MIX_AB = _mix_consts(64)
+
+
+def _md5_prehash(c):
+    return (F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+            % F.lit(_MIX_M))
+
+
+def _md5_mix(h, k: int):
+    a, b = _MIX_AB[k]
+    return (F.lit(a) * h + F.lit(b)) % F.lit(_MIX_P)
+
+
+_SQL_MIX_CONSTS = "consts(k, a, b) AS (VALUES " + ", ".join(
+    f"({k}, {a}, {b})" for k, (a, b) in enumerate(_MIX_AB)) + ")"
+
+
 def q_minhash_md5_candidates_documents(spark: SparkSession, sf: str) -> DataFrame:
     """ORACLE-BACKED proof of MinHash signature + LSH banding (VERDICT r2
     #6): the SAME one-aggregation-64-minima + banded-equi-join plan as the
-    production minhash_lsh_candidates, with an md5-derived seeded shingle
-    hash. DuckDB recomputes all 64 minima per doc and bands them by exact
-    minima equality; Spark bands by xxhash64(bucket) of the same minima —
-    outputs match iff the signature minima AND the banding join are both
-    exact. 50 planted exact copies guarantee non-vacuous output."""
+    production minhash_lsh_candidates, with an md5-derived affine-mixed
+    shingle hash (see _MIX_AB). DuckDB recomputes all 64 minima per doc and
+    bands them by exact minima equality; Spark bands by xxhash64(bucket) of
+    the same minima — outputs match iff the signature minima AND the
+    banding join are both exact. 50 planted exact copies guarantee
+    non-vacuous output."""
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     copies = (
         docs.orderBy("doc_id").limit(50)
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    md5h = lambda c, k: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(F.lit(f"{k}:"), c)), 1, 15), 16, 10
-    ).cast("long")
     return dedup.minhash_lsh_candidates(
-        docs.unionByName(copies), num_hashes=64, bands=16, hash_fn=md5h
+        docs.unionByName(copies), num_hashes=64, bands=16,
+        prehash_fn=_md5_prehash, mix_fn=_md5_mix,
     )
 
 
 SQL_MINHASH_MD5_CANDIDATES_DOCUMENTS = """
-WITH docs AS (
+WITH """ + _SQL_MIX_CONSTS + """,
+docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000, text FROM (
@@ -1417,11 +1456,15 @@ sh AS (
     SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 1000
   )
 ),
+hsh AS (
+  SELECT doc_id,
+         (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+          % 1073741824) AS h
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, k,
-         MIN(CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15))
-                  AS BIGINT)) AS mn
-  FROM sh, UNNEST(range(0, 64)) AS t(k)
+  SELECT doc_id, k, MIN((a * h + b) % 1073741789) AS mn
+  FROM hsh CROSS JOIN consts
   GROUP BY 1, 2
 ),
 bands AS (
@@ -2831,26 +2874,27 @@ def q_minhash_incremental_md5_documents(spark: SparkSession, sf: str) -> DataFra
     (id+200000) so index hits are guaranteed. The batch alone is shingled/
     signed and equi-joined against the index (corpus never rescanned), plus
     the within-batch self-join — exactly the production ingestion path.
-    md5-derived shingle hash; hot-shingle cut disabled on BOTH sides so the
-    DuckDB twin recomputes identical minima (the cut itself is oracle-
-    proven by minhash_md5_candidates_documents)."""
-    md5h = lambda c, k: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(F.lit(f"{k}:"), c)), 1, 15), 16, 10
-    ).cast("long")
+    md5-derived affine-mixed shingle hash (_MIX_AB — one md5 per shingle);
+    hot-shingle cut disabled on BOTH sides so the DuckDB twin recomputes
+    identical minima (the cut itself is oracle-proven by
+    minhash_md5_candidates_documents)."""
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0).unionByName(
         corpus.orderBy("doc_id").limit(50)
         .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
     sig = dedup.minhash_signatures(
-        corpus, num_hashes=64, max_shingle_freq=None, hash_fn=md5h)
+        corpus, num_hashes=64, max_shingle_freq=None,
+        prehash_fn=_md5_prehash, mix_fn=_md5_mix)
     idx = dedup.minhash_band_buckets(sig, num_hashes=64, bands=16)
     return dedup.minhash_incremental_candidates(
-        batch, idx, num_hashes=64, bands=16, max_shingle_freq=None, hash_fn=md5h)
+        batch, idx, num_hashes=64, bands=16, max_shingle_freq=None,
+        prehash_fn=_md5_prehash, mix_fn=_md5_mix)
 
 
 SQL_MINHASH_INCREMENTAL_MD5_DOCUMENTS = """
-WITH corpus AS (
+WITH """ + _SQL_MIX_CONSTS + """,
+corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
 ),
 batch AS (
@@ -2871,17 +2915,25 @@ shb AS (
   SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
   FROM wb, UNNEST(range(1, GREATEST(len(wl) - 1, 1))) AS t(i)
 ),
+hshc AS (
+  SELECT doc_id,
+         (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+          % 1073741824) AS h
+  FROM shc
+),
+hshb AS (
+  SELECT doc_id,
+         (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+          % 1073741824) AS h
+  FROM shb
+),
 mhc AS (
-  SELECT doc_id, k,
-         MIN(CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15))
-                  AS BIGINT)) AS mn
-  FROM shc, UNNEST(range(0, 64)) AS t(k) GROUP BY 1, 2
+  SELECT doc_id, k, MIN((a * h + b) % 1073741789) AS mn
+  FROM hshc CROSS JOIN consts GROUP BY 1, 2
 ),
 mhb AS (
-  SELECT doc_id, k,
-         MIN(CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 15))
-                  AS BIGINT)) AS mn
-  FROM shb, UNNEST(range(0, 64)) AS t(k) GROUP BY 1, 2
+  SELECT doc_id, k, MIN((a * h + b) % 1073741789) AS mn
+  FROM hshb CROSS JOIN consts GROUP BY 1, 2
 ),
 bandc AS (
   SELECT doc_id, CAST(k // 4 AS INT) AS band,

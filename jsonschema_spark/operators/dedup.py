@@ -149,6 +149,8 @@ def minhash_signatures(
     n: int = 3,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     hash_fn=None,
+    prehash_fn=None,
+    mix_fn=None,
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature per doc. Each hash h_k is
     min over shingles of hash_fn(shingle, k) (default ``xxhash64``, JVM
@@ -159,7 +161,28 @@ def minhash_signatures(
 
     ``hash_fn(col, k) -> Column`` exists so an SQL-expressible hash (e.g.
     md5-derived) can drive the SAME aggregation/banding plan for
-    oracle-backed verification — xxhash64 has no DuckDB twin."""
+    oracle-backed verification — xxhash64 has no DuckDB twin.
+
+    ``prehash_fn(col) -> Column`` + ``mix_fn(h, k) -> Column`` is the
+    two-stage form of the same hook: one (possibly expensive, e.g. md5)
+    base hash is projected ONCE per shingle row, and the ``num_hashes``
+    per-k hashes are cheap arithmetic mixes of it — 64 md5 calls per
+    shingle become 1, with identical SQL expressibility. Mutually
+    exclusive with ``hash_fn``."""
+    if prehash_fn is not None or mix_fn is not None:
+        if hash_fn is not None:
+            raise ValueError("pass either hash_fn or (prehash_fn, mix_fn), not both")
+        if prehash_fn is None or mix_fn is None:
+            raise ValueError("prehash_fn and mix_fn must be given together")
+        sh = _cut_hot_shingles(shingles(df, id_col, text_col, n), max_shingle_freq)
+        sh = sh.withColumn("_ph", prehash_fn(F.col("shingle")))
+        aggs = [
+            F.min(mix_fn(F.col("_ph"), k)).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+        sig = sh.groupBy("id").agg(*aggs)
+        return sig.select(
+            "id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
     if hash_fn is None:
         hash_fn = lambda c, k: F.xxhash64(c, F.lit(k))  # noqa: E731
     sh = _cut_hot_shingles(shingles(df, id_col, text_col, n), max_shingle_freq)
@@ -205,12 +228,15 @@ def minhash_lsh_candidates(
     n: int = 3,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     hash_fn=None,
+    prehash_fn=None,
+    mix_fn=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing ANY band
     signature. (id_a, id_b) distinct pairs. bands must divide num_hashes.
-    ``hash_fn`` threads through to minhash_signatures (oracle variants)."""
+    ``hash_fn`` / (``prehash_fn``, ``mix_fn``) thread through to
+    minhash_signatures (oracle variants)."""
     sig = minhash_signatures(df, num_hashes, id_col, text_col, n,
-                             max_shingle_freq, hash_fn)
+                             max_shingle_freq, hash_fn, prehash_fn, mix_fn)
     buckets = minhash_band_buckets(sig, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
@@ -235,6 +261,8 @@ def minhash_incremental_candidates(
     n: int = 3,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     hash_fn=None,
+    prehash_fn=None,
+    mix_fn=None,
 ) -> DataFrame:
     """Incremental-ingestion dedup: candidate pairs between a NEW batch and
     the stored corpus LSH index (``minhash_band_buckets`` rows), plus pairs
@@ -248,7 +276,7 @@ def minhash_incremental_candidates(
     equals the full-corpus candidate set restricted to pairs touching the
     batch."""
     sig = minhash_signatures(new_df, num_hashes, id_col, text_col, n,
-                             max_shingle_freq, hash_fn)
+                             max_shingle_freq, hash_fn, prehash_fn, mix_fn)
     nb = minhash_band_buckets(sig, num_hashes, bands)
     a, c = nb.alias("a"), corpus_buckets.alias("c")
     vs_corpus = (

@@ -1112,3 +1112,80 @@ def test_lint_typo_and_vocabulary_warnings():
     # prefixItems subschemas are walked (inverted bound caught inside)
     f = lint_spec({"prefixItems": [{"minimum": 9, "maximum": 1}]})
     assert any(sev == "error" and p == "/prefixItems/0" for sev, p, _ in f)
+
+
+# ------------------------- affine-mixed md5 MinHash twin (round-4 perf)
+
+def test_minhash_affine_mix_oracle_on_pathological_texts(spark):
+    """The two-stage md5 scheme (ONE md5 per shingle + 64 affine mixes,
+    __spark_entry__._MIX_AB) must reproduce DuckDB's minima bit-exactly on
+    the same messy-separator corpus as the r3 per-k-md5 test — same
+    below-width drops, same normalized-equality of docs 7/8."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from jsonschema_spark.operators import dedup
+    from tests.test_round3 import PATHOLOGICAL_DOCS, _pathological_df
+
+    got = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures(
+            _pathological_df(spark), num_hashes=8,
+            max_shingle_freq=None,
+            prehash_fn=E._md5_prehash,
+            mix_fn=E._md5_mix,
+        ).collect()
+    }
+    consts = "consts(k, a, b) AS (VALUES " + ", ".join(
+        f"({k}, {a}, {b})" for k, (a, b) in enumerate(E._MIX_AB[:8])) + ")"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in PATHOLOGICAL_DOCS)
+        + ") AS t(doc_id, text)"
+    )
+    rows = con.execute(
+        "WITH " + consts + r""",
+        w AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wl
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS shingle
+          FROM w, UNNEST(range(1, GREATEST(len(wl) - 1, 1))) AS t(i)
+        ),
+        hsh AS (
+          SELECT doc_id,
+                 (CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                  % 1073741824) AS h
+          FROM sh
+        ),
+        mh AS (
+          SELECT doc_id, k, MIN((a * h + b) % 1073741789) AS mn
+          FROM hsh CROSS JOIN consts GROUP BY 1, 2
+        )
+        SELECT doc_id, array_agg(mn ORDER BY k) AS sig FROM mh GROUP BY 1
+        """
+    ).fetchall()
+    want = {doc_id: list(sig) for doc_id, sig in rows}
+    assert got == want
+    assert set(got) == {6, 7, 8}
+    assert got[7] == got[8]
+    # mixes are genuinely distinct hash functions (no two collapse)
+    for sig in got.values():
+        assert len(set(sig)) > 1
+
+
+def test_minhash_signatures_rejects_mixed_hash_apis(spark):
+    from jsonschema_spark.operators import dedup
+    import __spark_entry__ as E
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(
+            df, hash_fn=lambda c, k: F.xxhash64(c, F.lit(k)),
+            prehash_fn=E._md5_prehash, mix_fn=E._md5_mix)
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(df, prehash_fn=E._md5_prehash)
