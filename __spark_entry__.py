@@ -1099,14 +1099,15 @@ FROM documents
 """
 
 
-def _plant_pii(docs: DataFrame) -> DataFrame:
+def _plant_pii(docs: DataFrame, out_col: str = "text") -> DataFrame:
     """Append deterministic doc_id-derived PII to a subset of docs (the
     synthetic corpus is word soup with no natural PII — the detectors need
-    non-vacuous input, and the SAME expression is plantable in DuckDB)."""
+    non-vacuous input, and the SAME expression is plantable in DuckDB).
+    ``out_col`` lets a carrier query keep the original text alongside."""
     d = F.col("doc_id")
     piece = lambda mod, s: F.when(d % mod == 0, s).otherwise(F.lit(""))  # noqa: E731
     return docs.withColumn(
-        "text",
+        out_col,
         F.concat(
             F.col("text"),
             piece(5, F.concat(F.lit(" user"), d.cast("string"), F.lit("@example.com"))),
@@ -2472,10 +2473,16 @@ def q_text_metrics_documents(spark: SparkSession, sf: str) -> DataFrame:
     whitespace tokens here, min_doc_frac=0.8 — exactly one corpus-ubiquitous
     token qualifies on this table) in one row per document."""
     docs = _t(spark, sf, "documents")
-    lid = T.language_id(docs)
-    qs = T.quality_scores(docs)
-    tc = T.token_counts(docs)
-    fp = T.fingerprints(docs)
+    # r04 perf: language-ID/quality/token-counts/fingerprints are pure
+    # projections, and the PII plant+redact leg is too — ONE select over one
+    # scan (T.profile_cols) replaces the r3 shape of 5 scans joined on
+    # doc_id. Only the two legs that genuinely aggregate (corpus-level
+    # boilerplate, duplicated-span windows) remain joins.
+    planted = pii.redact(_plant_pii(docs, out_col="_pii_text"),
+                         text_col="_pii_text", out_col="_red")
+    prof = planted.select(
+        "doc_id", *T.profile_cols("text"),
+        F.md5("_red").alias("pii_redacted_md5"))
     bp = T.boilerplate_lines(docs, min_doc_frac=0.8, line_sep=" ")
     clean = T.remove_boilerplate(docs, bp, line_sep=" ").select(
         "doc_id",
@@ -2493,13 +2500,7 @@ def q_text_metrics_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_tokens_removed").alias("span_tokens_removed"),
         F.col("n_spans").alias("span_n_spans"),
     )
-    # r04: the former pii_redact_documents gate leg rides here (its registry
-    # slot now carries vocab_documents) — same planted corpus, same md5-of-
-    # redacted-text equality, coverage preserved
-    red = pii.redact(_plant_pii(docs.select("doc_id", "text"))).select(
-        "doc_id", F.md5("redacted").alias("pii_redacted_md5"))
-    return (lid.join(qs, "doc_id").join(tc, "doc_id").join(fp, "doc_id")
-            .join(clean, "doc_id").join(span, "doc_id").join(red, "doc_id"))
+    return prof.join(clean, "doc_id").join(span, "doc_id")
 
 
 SQL_TEXT_METRICS_DOCUMENTS = f"""

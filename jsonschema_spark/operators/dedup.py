@@ -690,17 +690,22 @@ _SPAN_SEP = "\x1f"  # unit separator: cannot appear inside a whitespace token
 
 
 def _window_fingerprints(text_col: str, span_tokens: int):
-    """Array of md5 fingerprints, one per 0-based window start position."""
+    """Array of xxhash64 fingerprints, one per 0-based window start
+    position. The fingerprint only drives GROUPING (equal windows must
+    collide, distinct windows must not) — an 8-byte long quarters the
+    shuffle bytes of the former md5 hex string and drops the digest cost;
+    the DuckDB twin may keep md5 since group equivalence is all that is
+    compared."""
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(ws)
     return F.when(
         n >= span_tokens,
         F.transform(
             F.sequence(F.lit(0), n - span_tokens),
-            lambda p: F.md5(F.array_join(
+            lambda p: F.xxhash64(F.array_join(
                 F.slice(ws, p + 1, span_tokens), _SPAN_SEP)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def duplicated_window_occurrences(
@@ -718,6 +723,12 @@ def duplicated_window_occurrences(
 
     Output: (id, pos, fp, n_occ, is_canonical); ``pos`` is the 0-based
     token offset of the window start.
+
+    Shape at scale (r4): ONE exchange of the occurrence table — count and
+    canonical-min are window aggregates over ``partitionBy(fp)``. The
+    former groupBy(fp) + join-back-on-fp shape exchanged the table twice
+    AND recomputed the explode+fingerprint subtree on both sides of the
+    join (Spark does not CSE across join inputs).
     """
     if span_tokens < 2:
         raise ValueError("span_tokens must be >= 2")
@@ -725,16 +736,16 @@ def duplicated_window_occurrences(
         F.col(id_col).alias("id"),
         F.posexplode(_window_fingerprints(text_col, span_tokens)).alias("pos", "fp"),
     )
-    flags = (
-        occ.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_occ"),
-             F.min(F.struct("id", "pos")).alias("_canon"))
+    w = Window.partitionBy("fp")
+    return (
+        occ.withColumn("n_occ", F.count(F.lit(1)).over(w))
+        .withColumn("_canon", F.min(F.struct("id", "pos")).over(w))
         .where(F.col("n_occ") >= min_count)
-    )
-    return occ.join(flags, "fp").select(
-        "id", "pos", "fp", "n_occ",
-        ((F.col("id") == F.col("_canon.id"))
-         & (F.col("pos") == F.col("_canon.pos"))).alias("is_canonical"),
+        .select(
+            "id", "pos", "fp", "n_occ",
+            ((F.col("id") == F.col("_canon.id"))
+             & (F.col("pos") == F.col("_canon.pos"))).alias("is_canonical"),
+        )
     )
 
 

@@ -26,9 +26,8 @@ def words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Predict language by stopword-marker hits; deterministic tie-break by
-    language code order. Emits (id, predicted_lang, markers_hit)."""
+def language_id_cols(text_col: str = "text") -> list[Column]:
+    """Aliased columns for language-ID: (predicted_lang, markers_hit)."""
     w = words(F.col(text_col))
     scores = {
         lang: F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in marks])))
@@ -41,21 +40,24 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         cond = s > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, s).otherwise(best_score)
-    return df.select(
-        F.col(id_col), best_lang.alias("predicted_lang"), best_score.alias("markers_hit")
-    )
+    return [best_lang.alias("predicted_lang"), best_score.alias("markers_hit")]
 
 
-def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation / stopword quality signals per document."""
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predict language by stopword-marker hits; deterministic tie-break by
+    language code order. Emits (id, predicted_lang, markers_hit)."""
+    return df.select(F.col(id_col), *language_id_cols(text_col))
+
+
+def quality_score_cols(text_col: str = "text") -> list[Column]:
+    """Aliased columns for the quality signals (see quality_scores)."""
     t = F.col(text_col)
     w = words(t)
     n_tokens = F.size(w)
     n_chars = F.length(t)
     punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
     stop = F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])))
-    return df.select(
-        F.col(id_col),
+    return [
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars"),
         F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
@@ -65,29 +67,56 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             (n_tokens >= 5) & (n_chars >= 20)
             & (punct / F.greatest(n_chars, F.lit(1)) < 0.3)
         ).alias("passes_quality"),
-    )
+    ]
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword quality signals per document."""
+    return df.select(F.col(id_col), *quality_score_cols(text_col))
+
+
+def token_count_cols(text_col: str = "text") -> list[Column]:
+    """Aliased columns for (ws_tokens, re_tokens)."""
+    t = F.col(text_col)
+    return [
+        F.size(words(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("re_tokens"),
+    ]
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
-    t = F.col(text_col)
-    return df.select(
-        F.col(id_col),
-        F.size(words(t)).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("re_tokens"),
-    )
+    return df.select(F.col(id_col), *token_count_cols(text_col))
 
 
-def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Normalized-content fingerprint: lowercase, strip non-alphanumerics,
-    collapse whitespace, md5. Identical docs-after-normalization collide."""
+def fingerprint_cols(text_col: str = "text") -> list[Column]:
+    """Aliased column for the normalized-content fingerprint."""
     t = F.col(text_col)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+", " "
         )
     )
-    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return [F.md5(norm).alias("fingerprint")]
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized-content fingerprint: lowercase, strip non-alphanumerics,
+    collapse whitespace, md5. Identical docs-after-normalization collide."""
+    return df.select(F.col(id_col), *fingerprint_cols(text_col))
+
+
+def profile_cols(text_col: str = "text") -> list[Column]:
+    """language_id + quality_scores + token_counts + fingerprints as ONE
+    aliased column list. All four legs are pure projections over the same
+    scan — composing them here replaces the 4-scan/3-shuffle join-on-id
+    shape with a single codegen projection (no shuffle at any scale)."""
+    return [
+        *language_id_cols(text_col),
+        *quality_score_cols(text_col),
+        *token_count_cols(text_col),
+        *fingerprint_cols(text_col),
+    ]
 
 
 def rolling_fingerprints(
