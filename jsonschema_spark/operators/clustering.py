@@ -23,11 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
-    """Distinct (u, v) with u > v, self-loops dropped."""
-    e = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y")).where(F.col("x") != F.col("y"))
-    return e.select(
-        F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+def _canonical_pairs(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Distinct (u, v) with u >= v — self-loops KEPT so the node set is
+    derivable from this one table (they are filtered out of the working
+    edge set separately)."""
+    return pairs.select(
+        F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v")
     ).distinct()
 
 
@@ -85,13 +86,17 @@ def connected_components(
     (two shuffles) over the current edge list. Convergence is detected by an
     order-insensitive (count, xxhash64-sum) checksum — two scalar aggregates,
     no edge-list collect. Raises RuntimeError if ``max_rounds`` is exhausted
-    (cannot happen for max_rounds ≥ ~2·log2(n) by the SoCC'14 bound)."""
-    nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .union(pairs.select(F.col(id_b).alias("id")))
-        .distinct()
-    )
-    edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    (cannot happen for max_rounds ≥ ~2·log2(n) by the SoCC'14 bound).
+
+    The upstream ``pairs`` plan is often EXPENSIVE (an LSH or Jaccard
+    detector); it is materialized exactly once — the canonicalized pair
+    table is checkpointed first and both the node set and the working edge
+    set derive from that checkpoint (r4: the node set used to re-run the
+    whole detector a second time)."""
+    base = _canonical_pairs(pairs, id_a, id_b).localCheckpoint(eager=True)
+    nodes = base.select(F.col("u").alias("id")).union(
+        base.select(F.col("v").alias("id"))).distinct()
+    edges = base.where(F.col("u") != F.col("v"))
     prev = _checksum(edges)
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
