@@ -313,24 +313,36 @@ def minhash_dedup(
     candidate generation is linear (banding), exact verify runs only on the
     candidate set. Returns (id_a, id_b, jaccard). The hot-shingle cut is
     applied to BOTH the signatures and the verify shingles, so the verified
-    Jaccard is consistent with the candidate space."""
+    Jaccard is consistent with the candidate space.
+
+    Verify shape (r4): candidate pairs are melted to (pair, id) and joined
+    ONCE against the per-doc shingle-set table; each pair's Jaccard is an
+    array_intersect over its two sets. The former shape joined the full
+    exploded (id, shingle) table on ["id_b", "shingle"] — a corpus-sized
+    shuffle keyed by shingle — and recomputed the shingle pipeline for the
+    a-side, b-side, and both size legs (Spark does not CSE across join
+    inputs); now the pipeline runs once for signatures and once for sets,
+    and nothing corpus-sized shuffles in verify (the melted candidate side
+    is small, so AQE broadcasts it)."""
     cand = minhash_lsh_candidates(df, num_hashes, bands, id_col, text_col, n, max_shingle_freq)
     sh = _cut_hot_shingles(shingles(df, id_col, text_col, n), max_shingle_freq)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.withColumnRenamed("id", "id_a")
-    b = sh.withColumnRenamed("id", "id_b")
-    # count shared shingles among candidate pairs only
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("_set"))
+    melted = cand.select(F.struct("id_a", "id_b").alias("_p")).select(
+        "_p", F.explode(F.array("_p.id_a", "_p.id_b")).alias("id"))
+    per_pair = (
+        melted.join(sets, "id")
+        .groupBy("_p")
+        .agg(
+            F.max(F.when(F.col("id") == F.col("_p.id_a"), F.col("_set"))).alias("_sa"),
+            F.max(F.when(F.col("id") == F.col("_p.id_b"), F.col("_set"))).alias("_sb"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = n_inter / (F.size("_sa") + F.size("_sb") - n_inter)
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        per_pair.select(
+            F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"),
+            jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
