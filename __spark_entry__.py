@@ -2770,13 +2770,31 @@ FROM documents
 def q_ann_recall_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """ANN recall gates merged (r03: lsh_recall_embeddings +
     ivf_recall_embeddings): both approximate paths' top-1 vs the exact
-    top-1 over the planted near-dup queries, one union."""
-    lsh = q_lsh_recall_embeddings(spark, sf).select(
-        F.lit("lsh").alias("method"), "query_id",
-        F.col("lsh_neighbor").alias("neighbor_id"), "recall_at_1")
-    ivf = q_ivf_recall_embeddings(spark, sf).select(
-        F.lit("ivf").alias("method"), "query_id",
-        F.col("ivf_neighbor").alias("neighbor_id"), "recall_at_1")
+    top-1 over the planted near-dup queries, one union. The planted query
+    set and the exact top-1 (20 rows each) are localCheckpointed so the
+    brute-force scan runs ONCE and both union branches reuse it — the
+    delegating form recomputed the exact leg per branch."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = _planted_queries(emb).localCheckpoint(eager=False)
+    exact = similarity.cosine_topk(emb, q, k=1).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    ).localCheckpoint(eager=False)
+
+    def leg(method: str, approx: DataFrame) -> DataFrame:
+        return approx.join(exact, "query_id", "full").select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id",
+            F.coalesce(
+                (F.col("neighbor_id") == F.col("exact_neighbor")).cast("int"),
+                F.lit(0),
+            ).alias("recall_at_1"),
+        )
+
+    lsh = leg("lsh", similarity.cosine_lsh_topk(
+        emb, q, k=1, planes=8, tables=4).select("query_id", "neighbor_id"))
+    cent = similarity.train_centroids(emb, c=8, iters=5)
+    ivf = leg("ivf", similarity.ivf_topk(
+        emb, q, cent, k=1, nprobe=4).select("query_id", "neighbor_id"))
     return lsh.unionByName(ivf)
 
 
