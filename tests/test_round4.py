@@ -1189,3 +1189,18 @@ def test_minhash_signatures_rejects_mixed_hash_apis(spark):
             prehash_fn=E._md5_prehash, mix_fn=E._md5_mix)
     with pytest.raises(ValueError):
         dedup.minhash_signatures(df, prehash_fn=E._md5_prehash)
+
+
+def test_duplicated_window_occurrences_single_exchange(spark):
+    """r4 plan shape: detection is ONE exchange (window aggregates over
+    partitionBy(fp)) — the former groupBy+join-back shape produced two
+    hashpartitioning exchanges and computed the explode subtree twice."""
+    from jsonschema_spark.operators.dedup import duplicated_window_occurrences
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e f g h i j k l "),
+                 (F.col("id") % 7).cast("string")).alias("text"))
+    occ = duplicated_window_occurrences(df, span_tokens=8)
+    plan = occ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
