@@ -2818,6 +2818,10 @@ def q_simhash_md5_full_documents(spark: SparkSession, sf: str) -> DataFrame:
         docs.orderBy("doc_id").limit(50)
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
+    # (measured: sharing one localCheckpointed signature pass across both
+    # legs is ~30% SLOWER here — the checkpoint barrier costs more than the
+    # second codegen aggregation at this scale; dedup.simhash_near_duplicates
+    # keeps its `signatures` hook for genuinely large reuse)
     pairs = dedup.simhash_near_duplicates(
         docs.unionByName(copies), max_hamming=3, bits=60, hash_fn=md5h)
     return sig.select(

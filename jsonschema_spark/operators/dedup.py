@@ -498,15 +498,19 @@ def hamming_incremental_candidates(
 
 def simhash_near_duplicates(
     df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 64, hash_fn=None,
+    bits: int = 64, hash_fn=None, signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(SimHash) ≤ max_hamming — SimHash
     signatures fed through the exhaustive block-rotation pair search.
     ``bits``/``hash_fn`` thread to simhash_signatures so an md5-derived
-    hash can drive the identical composition for oracle verification."""
-    return hamming_near_duplicates(
-        simhash_signatures(df, id_col, text_col, bits, hash_fn), max_hamming, "simhash"
-    )
+    hash can drive the identical composition for oracle verification.
+    Pass a precomputed ``signatures`` (id, simhash) table to reuse one
+    signature pass across several consumers (e.g. a signature report AND
+    the pair search) — Spark does not CSE across plan branches, so without
+    it each consumer re-aggregates the token table."""
+    sig = signatures if signatures is not None else simhash_signatures(
+        df, id_col, text_col, bits, hash_fn)
+    return hamming_near_duplicates(sig, max_hamming, "simhash")
 
 
 def embedding_near_duplicates(
