@@ -76,14 +76,34 @@ _MEM_KEYS = ("small_mem", "large_mem", "calib_small_mem", "calib_large_mem",
              "agg_small_mem", "agg_large_mem", "mix_small_mem",
              "mix_large_mem")
 
-
-def _apply_mem_rule(rounds: list[dict], frac: float = 0.5) -> None:
+def _apply_mem_rule(rounds: list[dict], frac: float = 0.5,
+                    steal_cut: float = 2.0) -> None:
     """Set mem_clean + final clean on every round: each region's in-region
-    DRAM gauge must be >= ``frac`` x the best (max) any round achieved for
-    that region type. A key a round does not carry (legacy logs predate the
-    agg-calibration regions) is skipped for that round; rounds with no
-    gauges at all keep their recorded clean flag."""
-    best = {k: max((r.get(k, 0.0) for r in rounds), default=0.0)
+    DRAM gauge must be >= ``frac`` x the best (max) achieved for that region
+    type by a CPU-clean round (``clean_cpu``: every timed region's steal AND
+    other-load < ``steal_cut``). Rule v2: the bandwidth probe reads
+    SYSTEM-wide DRAM traffic, so a round during which a neighbor was
+    demonstrably active (CPU gauges over the cut in ANY region) can record
+    the neighbor's memory traffic on top of its own in any other region
+    between the neighbor's CPU bursts — an inflated reading that is invalid
+    as a quiet-host reference by the protocol's own cleanliness standard.
+    Observed twice before this rule: a 9.33 GB/s agg-32c reading during
+    9.78% other-load declassified the only CPU-clean round of the quiet4
+    attempt; an 8.07 GB/s mix-32c reading in a round with 4.34% agg-region
+    steal did the same to a CPU-clean fresh-run round. If no CPU-clean round
+    exists, fall back to the all-rounds max (v1 behavior). Note the
+    instrument only discriminates once >=2 CPU-clean rounds exist — with
+    one, its floors are self-referential and pass trivially; the gate needs
+    >=3 clean rounds anyway. A key a round does not carry (legacy logs
+    predate the agg-calibration regions) is skipped for that round; rounds
+    with no gauges at all keep their recorded clean flag.
+
+    ``steal_cut`` is used only when a round predates the recorded
+    ``clean_cpu`` flag (never in practice: every gauge-bearing log carries
+    it)."""
+    ref_rounds = [r for r in rounds if r.get("clean_cpu", False)]
+    pool = ref_rounds if ref_rounds else rounds
+    best = {k: max((r.get(k, 0.0) for r in pool), default=0.0)
             for k in _MEM_KEYS}
     for r in rounds:
         if not any(r.get(k, 0.0) > 0.0 for k in _MEM_KEYS):
@@ -145,7 +165,8 @@ def main() -> None:
                     rd = ast.literal_eval(line.split(": ", 1)[1].strip())
                     rounds.append(rd)
                     n_clean += bool(rd["clean"])
-        _apply_mem_rule(rounds, frac=args.mem_frac)
+        _apply_mem_rule(rounds, frac=args.mem_frac,
+                        steal_cut=args.steal_cut)
         n_clean = sum(bool(r["clean"]) for r in rounds)
         print(f"[run_scaling] resumed {len(rounds)} rounds "
               f"({n_clean} clean after re-applying the mem rule at "
@@ -244,8 +265,10 @@ def main() -> None:
         # IDENTICAL work across rounds of the same region type, so the
         # cross-round max is the quietest-host reference. Applied with a
         # running max (max only grows; the final classification below uses
-        # the complete set).
-        _apply_mem_rule(rounds, frac=args.mem_frac)
+        # the complete set). v2: only CPU-clean regions contribute to the
+        # reference max (see _apply_mem_rule docstring).
+        _apply_mem_rule(rounds, frac=args.mem_frac,
+                        steal_cut=args.steal_cut)
         rd_now = rounds[-1]
         print(f"[run_scaling] round {i + 1}: {rd_now}", flush=True)
         n_clean = sum(r["clean"] for r in rounds)
@@ -299,8 +322,12 @@ def main() -> None:
                     f"steal < {args.steal_cut}% and other-process host load "
                     f"< {args.steal_cut}% (own-load instrument: host busy "
                     "ticks minus benchmark-tree ticks) AND in-region DRAM "
-                    "bandwidth >= 0.5x the cross-round best for that region "
-                    "type (concurrent single-thread streaming-read probe — "
+                    f"bandwidth >= {args.mem_frac}x the cross-round best "
+                    "for that region type among CPU-clean rounds only — a "
+                    "reading from a round with foreign CPU load anywhere "
+                    "includes the neighbor's DRAM traffic and is invalid "
+                    "as a reference "
+                    "(concurrent single-thread streaming-read probe — "
                     "catches neighbor MEMORY contention that stalls vCPUs "
                     "inside busy ticks, invisible to both CPU gauges); "
                     "contaminated rounds reported but excluded (interference "
@@ -310,6 +337,12 @@ def main() -> None:
                                    "gate >= 0.8",
         "n_images": args.n_images,
         "steal_cut_pct": args.steal_cut,
+        "mem_rule": f"v2 guarded-reference: region DRAM gauge >= "
+                    f"{args.mem_frac}x the cross-round best for that region "
+                    f"type among CPU-clean rounds (every region's steal AND "
+                    f"other-load < {args.steal_cut}%); system-wide probe "
+                    f"readings from rounds with foreign CPU load anywhere "
+                    f"are invalid references",
         "rounds": rounds,
         "n_rounds": len(rounds),
         "n_clean_rounds": len(clean),
@@ -440,15 +473,26 @@ hypervisor CPU steal (/proc/stat) — neighbor CPU contention; (2)
 other-process host load (host busy ticks minus benchmark-tree ticks) —
 self-inflicted contention a steal counter cannot see; (3) in-region DRAM
 bandwidth (a concurrent single-thread streaming-read probe, ~30 ms sample
-every 400 ms, median per region, round clean iff every region >= 0.5x that
-region type's cross-round best) — neighbor MEMORY contention, which stalls
-vCPUs inside busy ticks and is invisible to both CPU gauges. Instrument (3)
-exists because 2026-08-18 attempts recorded rounds with steal 0.21% and
-other-load 1.41% where the 32-wide suite ran 2.2x its known-quiet time
-while the 8-wide exactly reproduced its quiet time. Relative-to-best is the
-right floor because the suite's own bandwidth draw differs by level, but
-the work per region type is identical across rounds, so the cross-round max
-is the quietest-host reference for that region type.
+every 400 ms, median per region, round clean iff every region >=
+{args.mem_frac}x that region type's cross-round best **among CPU-clean
+rounds**) — neighbor MEMORY contention, which stalls vCPUs inside busy
+ticks and is invisible to both CPU gauges. Instrument (3) exists because
+2026-08-18 attempts recorded rounds with steal 0.21% and other-load 1.41%
+where the 32-wide suite ran 2.2x its known-quiet time while the 8-wide
+exactly reproduced its quiet time. Relative-to-best is the right floor
+because the suite's own bandwidth draw differs by level, but the work per
+region type is identical across rounds, so the cross-round max is the
+quietest-host reference for that region type. The reference max is taken
+over CPU-clean rounds only (rule v2): the probe reads SYSTEM-wide DRAM
+traffic, so any round during which a neighbor was demonstrably active (CPU
+gauges over the cut in ANY region) can record the neighbor's memory
+traffic on top of its own in other regions, between the neighbor's CPU
+bursts — twice such inflated readings (9.33 GB/s in a region with 9.78%
+other-load; 8.07 GB/s in a CPU-quiet region of a round with 4.34% steal
+elsewhere) set floors that declassified genuinely CPU-clean rounds whose
+own readings matched every other quiet round. The v2 guard only
+discriminates once >=2 CPU-clean rounds exist (with one, its floors are
+self-referential); the gate requires >=3 clean rounds regardless.
 
 **Three calibration denominators, all reported** (round-4 refinement,
 registered with rationale in BENCH/SCALING_NOTES_r04.md §3/§3b before this
