@@ -51,7 +51,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level_once(cores: int, n_images: int) -> dict:
+def run_level_once(cores: int, n_images: int) -> dict | None:
     # taskset pins the whole process tree (JVM + Python) to exactly `cores`
     # hardware threads — local[N] alone caps only task slots, while GC/IO/
     # compression threads would silently use every host core, inflating the
@@ -63,13 +63,22 @@ def run_level_once(cores: int, n_images: int) -> dict:
         cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}", sys.executable] + cmd
     else:
         cmd = [sys.executable] + cmd
-    print(f"[run_scaling] {' '.join(cmd)}", flush=True)
-    out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
-    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if out.returncode != 0 or not last:
+    # A benchmark JVM can die mid-region under host memory pressure (seen
+    # 2026-08-20: py4j ConnectionRefused during the 32-core suite). One
+    # retry, then report failure to the caller — the caller discards the
+    # round and keeps collecting instead of aborting a multi-hour protocol
+    # run that may already hold clean rounds.
+    for attempt in (1, 2):
+        print(f"[run_scaling] {' '.join(cmd)}", flush=True)
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+        last = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")]
+        if out.returncode == 0 and last:
+            return json.loads(last[-1])
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-        raise SystemExit(f"scaling_bench --cores {cores} failed rc={out.returncode}")
-    return json.loads(last[-1])
+        print(f"[run_scaling] scaling_bench --cores {cores} failed "
+              f"rc={out.returncode} (attempt {attempt}/2)", flush=True)
+    return None
 
 
 _MEM_KEYS = ("small_mem", "large_mem", "calib_small_mem", "calib_large_mem",
@@ -175,7 +184,13 @@ def main() -> None:
         print(f"[run_scaling] === round {i + 1}/{args.max_rounds} "
               f"(clean so far: {n_clean}/{args.clean_rounds}) ===", flush=True)
         s = run_level_once(args.small, args.n_images)
-        l = run_level_once(args.large, args.n_images)
+        l = run_level_once(args.large, args.n_images) if s is not None \
+            else None
+        if s is None or l is None:
+            print(f"[run_scaling] round {i + 1}: a benchmark JVM died "
+                  "twice — round discarded (counts against --max-rounds), "
+                  "continuing", flush=True)
+            continue
         rd = {
             "round": i + 1,
             "small_sec": s["runs"][0], "small_steal": s["steals"][0],
