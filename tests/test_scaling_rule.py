@@ -68,3 +68,47 @@ def test_legacy_round_without_gauges_keeps_recorded_flag():
     assert rounds[0]["mem_clean"] is None
     assert rounds[0]["clean"] is True
     assert rounds[1]["clean"]
+
+
+class _FakeCompleted:
+    def __init__(self, rc, stdout=""):
+        self.returncode = rc
+        self.stdout = stdout
+        self.stderr = ""
+
+
+def test_run_level_once_retries_then_gives_up(monkeypatch):
+    # A benchmark JVM death (py4j ConnectionRefused under host memory
+    # pressure) aborted a 9-round protocol run mid-region on 2026-08-20.
+    # The region must retry once and then report failure as None so the
+    # caller can discard the round instead of SystemExit-ing the protocol.
+    import run_scaling
+
+    calls = []
+    monkeypatch.setattr(
+        run_scaling.subprocess, "run",
+        lambda cmd, **kw: calls.append(cmd) or _FakeCompleted(1))
+    assert run_scaling.run_level_once(8, 1000) is None
+    assert len(calls) == 2
+
+
+def test_run_level_once_recovers_on_retry(monkeypatch):
+    import run_scaling
+
+    outs = [_FakeCompleted(1), _FakeCompleted(0, '{"runs": [1.5]}\n')]
+    monkeypatch.setattr(run_scaling.subprocess, "run",
+                        lambda cmd, **kw: outs.pop(0))
+    assert run_scaling.run_level_once(8, 1000) == {"runs": [1.5]}
+    assert not outs
+
+
+def test_run_level_once_single_call_on_success(monkeypatch):
+    import run_scaling
+
+    calls = []
+    monkeypatch.setattr(
+        run_scaling.subprocess, "run",
+        lambda cmd, **kw: calls.append(cmd)
+        or _FakeCompleted(0, 'noise\n{"runs": [2.0]}\n'))
+    assert run_scaling.run_level_once(8, 1000) == {"runs": [2.0]}
+    assert len(calls) == 1
