@@ -20,7 +20,7 @@ import statistics
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from run_scaling import _apply_mem_rule  # noqa: E402
+from run_scaling import _apply_mem_rule, _apply_time_rule  # noqa: E402
 
 
 def load_rounds(path: str) -> list[dict]:
@@ -35,6 +35,11 @@ def load_rounds(path: str) -> list[dict]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("log")
+    ap.add_argument("--rule", choices=("v2", "v3"), default="v2",
+                    help="v2 = DRAM-probe floor; v3 = region wall-time "
+                         "anomaly (<= --time-headroom x per-region median "
+                         "over CPU-clean rounds)")
+    ap.add_argument("--time-headroom", type=float, default=1.3)
     ap.add_argument("--mem-frac", type=float, default=0.75)
     ap.add_argument("--steal-cut", type=float, default=2.0)
     ap.add_argument("--out", default=None)
@@ -58,15 +63,23 @@ def main() -> None:
         v1 = [(r["round"], bool(r.get("clean"))) for r in rounds]
     for r in rounds:
         r.pop("mem_clean", None)
+        r.pop("time_clean", None)
         r.pop("clean", None)
     _apply_mem_rule(rounds, frac=args.mem_frac, steal_cut=args.steal_cut)
+    if args.rule == "v3":
+        _apply_time_rule(rounds, headroom=args.time_headroom)
     clean = [r for r in rounds if r["clean"]]
     reclassified = [r["round"] for r in rounds
                     if bool(r["clean"]) != dict(v1)[r["round"]]]
     result = {
         "source_log": args.log,
         "baseline_json": args.baseline_json,
-        "mem_rule": "v2 guarded-reference (see tools/run_scaling.py)",
+        "mem_rule": ("v2 guarded-reference (see tools/run_scaling.py)"
+                     if args.rule == "v2" else
+                     "v3 time-anomaly (binding; v2 probe floor recorded "
+                     "per round as mem_clean diagnostics)"),
+        "rule": args.rule,
+        "time_headroom": args.time_headroom if args.rule == "v3" else None,
         "mem_frac": args.mem_frac,
         "steal_cut_pct": args.steal_cut,
         "n_rounds": len(rounds),
@@ -81,7 +94,7 @@ def main() -> None:
             if any(r.get("normalized_ratio_mix") for r in clean) else None),
         "rounds": rounds,
     }
-    print(f"{args.log}: {len(clean)}/{len(rounds)} clean under v2 "
+    print(f"{args.log}: {len(clean)}/{len(rounds)} clean under {args.rule} "
           f"(was {sum(c for _, c in v1)} under recorded flags); "
           f"reclassified: {reclassified}; "
           f"clean mix-normalized: {result['clean_mix_normalized']}")
