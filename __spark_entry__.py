@@ -1873,11 +1873,17 @@ def q_suggest_documents(spark: SparkSession, sf: str) -> DataFrame:
     aggregate table a draft constraint spec is assembled from — types,
     null-rate/required, numeric+length ranges, exact distinct counts, and
     sorted enum candidates for low-cardinality columns. One fused hash
-    aggregation; enum sets collected only under an approx-distinct guard."""
+    aggregation; enum sets collected only under an approx-distinct guard.
+
+    The enum list is serialized to a comma-joined string for the gate (the
+    driver canonicalizer sorts columns with pandas and cannot hash Python
+    lists); the array itself is already deterministically sorted, so the
+    join is lossless for comparison purposes."""
     from jsonschema_spark.suggest import profile_columns
 
     return profile_columns(
-        _t(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"])
+        _t(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    ).withColumn("enum_vals", F.array_join("enum_vals", ","))
 
 
 def _fmt_case_sql(col: str) -> str:
@@ -1904,7 +1910,7 @@ SELECT 'doc_id' AS column, 'integer' AS json_type, n.n_rows,
        (SELECT CAST(max(doc_id) AS DOUBLE) FROM documents) AS max_num,
        CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len,
        (SELECT count(DISTINCT doc_id) FROM documents) AS n_distinct,
-       CAST(NULL AS VARCHAR[]) AS enum_vals,
+       CAST(NULL AS VARCHAR) AS enum_vals,
        CAST(NULL AS VARCHAR) AS suggested_format
 FROM n
 UNION ALL
@@ -1916,7 +1922,8 @@ SELECT 'lang', 'string', n.n_rows,
        (SELECT max(length(lang)) FROM documents),
        (SELECT count(DISTINCT lang) FROM documents),
        CASE WHEN (SELECT count(DISTINCT lang) FROM documents) <= 16
-            THEN (SELECT list_sort(list(DISTINCT lang)) FROM documents WHERE lang IS NOT NULL)
+            THEN (SELECT array_to_string(list_sort(list(DISTINCT lang)), ',')
+                  FROM documents WHERE lang IS NOT NULL)
             END,
        {_fmt_case_sql('lang')}
 FROM n
@@ -1929,7 +1936,8 @@ SELECT 'source', 'string', n.n_rows,
        (SELECT max(length(source)) FROM documents),
        (SELECT count(DISTINCT source) FROM documents),
        CASE WHEN (SELECT count(DISTINCT source) FROM documents) <= 16
-            THEN (SELECT list_sort(list(DISTINCT source)) FROM documents WHERE source IS NOT NULL)
+            THEN (SELECT array_to_string(list_sort(list(DISTINCT source)), ',')
+                  FROM documents WHERE source IS NOT NULL)
             END,
        {_fmt_case_sql('source')}
 FROM n
@@ -1941,7 +1949,7 @@ SELECT 'n_chars', 'integer', n.n_rows,
        (SELECT CAST(max(n_chars) AS DOUBLE) FROM documents),
        NULL, NULL,
        (SELECT count(DISTINCT n_chars) FROM documents),
-       CAST(NULL AS VARCHAR[]),
+       CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR)
 FROM n
 """
