@@ -67,11 +67,28 @@ def _read_steal() -> tuple[int, int]:
 
 
 STEALS: dict[str, float] = {}
+OTHERS: dict[str, float] = {}   # CPU%% burned outside this process tree
+MEMS: dict[str, float] = {}     # in-region DRAM-probe bandwidth, GB/s
+PER_REP: dict[str, list[float]] = {}
+
+# The scaling protocol's two extra contamination instruments (VERDICT r4
+# #3): hypervisor steal is blind to both self-inflicted load (a concurrent
+# pytest run) and neighbor DRAM contention — the r4 flagship number could
+# not be adjudicated against the builder's quiet-host run because the
+# driver artifact carried only the steal figure. Import is best-effort so
+# bench.py still runs standalone if tools/ is absent.
+try:
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from scaling_bench import MemProbe, other_load_pct, read_load
+    _PROBE = MemProbe()
+except Exception:  # pragma: no cover - instrumentation is optional
+    _PROBE = None
 
 
 def timed_median(fn, name: str | None = None, warmup: int = 0) -> float:
     """Median of REPS full executions (plan construction + run billed).
-    Records the steal%% observed across all reps under ``name``.
+    Records the steal%%, other-load%% and DRAM-gauge GB/s observed across
+    all reps under ``name``, plus the raw per-rep wall times.
 
     ``warmup``: unbilled executions first. The flagship needs one — its
     first run pays JVM codegen + a page-cache-cold read of the multi-GB
@@ -82,13 +99,23 @@ def timed_median(fn, name: str | None = None, warmup: int = 0) -> float:
         fn()
     ts = []
     s0 = _read_steal()
+    l0 = read_load() if _PROBE is not None else None
+    if _PROBE is not None:
+        _PROBE.region_start()
     for _ in range(REPS):
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
-    s1 = _read_steal()
-    if name is not None and s1[1] > s0[1]:
-        STEALS[name] = round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
+    if name is not None:
+        s1 = _read_steal()
+        if s1[1] > s0[1]:
+            STEALS[name] = round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
+        if _PROBE is not None:
+            MEMS[name] = _PROBE.region_end()
+            OTHERS[name] = other_load_pct(l0, read_load())
+        PER_REP[name] = [round(t, 3) for t in ts]
+    elif _PROBE is not None:
+        _PROBE.region_end()
     return round(statistics.median(ts), 3)
 
 
@@ -185,20 +212,54 @@ def main() -> None:
         "fidelity_images_bytes")
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    full = {
         "metric": "headline suite wall time (validated images/sec in images_per_sec)",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf": sf,
         "images_per_sec": round(N_IMAGES / suite_sec, 1),
         "n_images": N_IMAGES,
         "cpus": CPUS,
         "reps_per_query": REPS,  # each timing is the MEDIAN of this many runs
+        "per_rep_sec": PER_REP,  # raw wall times behind each median
         "steal_pct": STEALS,     # /proc/stat CPU steal observed per query
+        "other_load_pct": OTHERS,  # CPU outside this tree (self-contamination)
+        "dram_gb_per_sec": MEMS,   # in-region DRAM probe (neighbor contention)
         "flagship_passes": "P1 rows+stats, P2 uniqueness, P3 referential, "
                            "P4 drift, P5 fidelity (sampled 0.1%), "
                            "P6 partition-anomaly (w,h,phash)",
+    }
+    # Full per-query record to a file; stdout's LAST line is a compact
+    # headline the driver's bounded stdout-tail capture always parses
+    # (VERDICT r4 #4: the 51-query single-line JSON exceeded the capture
+    # and BENCH_r04.json recorded parsed=null). The compact line keeps the
+    # driver contract's "queries" key with the flagship + per-family heads.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench_full_latest.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    headline_keys = [
+        "images_full_suite", "fidelity_images_bytes", "row_checks_lineitem",
+        "stats_lineitem", "uniqueness_orders", "referential_violations",
+        "drift_psi_ks", "minhash_dedup_documents", "dup_clusters_documents",
+        "cosine_topk_embeddings", "text_metrics_documents", "curate_documents",
+    ]
+    print(json.dumps({
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline_keys if k in timings},
+        "sf": sf,
+        "images_per_sec": full["images_per_sec"],
+        "n_images": N_IMAGES,
+        "cpus": CPUS,
+        "n_queries": len(timings),
+        "flagship_steal_pct": STEALS.get("images_full_suite"),
+        "flagship_other_load_pct": OTHERS.get("images_full_suite"),
+        "flagship_dram_gb_per_sec": MEMS.get("images_full_suite"),
+        "full_record": "BENCH/bench_full_latest.json",
     }))
     spark.stop()
 
