@@ -205,3 +205,45 @@ def test_time_rule_skips_regions_a_round_does_not_carry():
               _tround(3, True, 84.5, 44.5)]  # no agg region
     _apply_time_rule(rounds, headroom=1.3)
     assert all(r["time_clean"] for r in rounds)
+
+
+# ----------------------------------------------------------- rule v4 (r5)
+
+from run_scaling import _apply_time_rule_v4  # noqa: E402
+
+
+def test_time_rule_v4_catches_contaminated_majority():
+    # ADVICE r4 (medium): under v3 the median reference is captured when
+    # >= half the CPU-clean rounds are stalled — 3 of 4 rounds at ~2x
+    # quiet time all classify time_clean at headroom 1.3 because the
+    # median sits at the stalled value. v4's min anchor (contamination is
+    # one-sided slow; the fast tail is the quiet-host truth) flags them.
+    rounds = [_tround(1, True, 84.0, 44.0),
+              _tround(2, True, 168.0, 88.0),
+              _tround(3, True, 170.0, 87.0),
+              _tround(4, True, 169.0, 89.0)]
+    _apply_time_rule(rounds, headroom=1.3)
+    assert all(r["time_clean"] for r in rounds)  # v3's documented blind spot
+    _apply_time_rule_v4(rounds, headroom=1.3)
+    assert rounds[0]["time_clean"] and rounds[0]["clean"]
+    assert not any(r["time_clean"] for r in rounds[1:])
+
+
+def test_time_rule_v4_quiet_variance_within_headroom_stays_clean():
+    # Normal quiet-round jitter (<= headroom x the fastest round) must not
+    # be flagged: the min anchor tightens the reference, not the headroom.
+    rounds = [_tround(1, True, 84.0, 44.0),
+              _tround(2, True, 96.0, 50.0),   # 1.14x / 1.14x the min
+              _tround(3, True, 105.0, 55.0)]  # 1.25x / 1.25x the min
+    _apply_time_rule_v4(rounds, headroom=1.3)
+    assert all(r["time_clean"] and r["clean"] for r in rounds)
+
+
+def test_time_rule_v4_cpu_dirty_rounds_do_not_set_reference():
+    # A CPU-dirty FAST round must not tighten the reference for clean
+    # rounds (same guard as v3: the anchor pool is CPU-clean rounds only).
+    rounds = [_tround(1, False, 60.0, 30.0),  # dirty, anomalously fast? no:
+              _tround(2, True, 84.0, 44.0),   # clean rounds set the anchor
+              _tround(3, True, 100.0, 52.0)]
+    _apply_time_rule_v4(rounds, headroom=1.3)
+    assert rounds[1]["time_clean"] and rounds[2]["time_clean"]

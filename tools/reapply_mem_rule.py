@@ -20,7 +20,8 @@ import statistics
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from run_scaling import _apply_mem_rule, _apply_time_rule  # noqa: E402
+from run_scaling import (  # noqa: E402
+    _apply_mem_rule, _apply_time_rule, _apply_time_rule_v4)
 
 
 def load_rounds(path: str) -> list[dict]:
@@ -35,10 +36,15 @@ def load_rounds(path: str) -> list[dict]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("log")
-    ap.add_argument("--rule", choices=("v2", "v3"), default="v2",
+    # Required, no default (ADVICE r4 #3): run_scaling's live default is
+    # v4, and a re-analysis that silently bound a DIFFERENT rule than the
+    # run it re-analyzes would produce an artifact nobody chose. Every
+    # re-analysis artifact now records a deliberate --rule choice.
+    ap.add_argument("--rule", choices=("v2", "v3", "v4"), required=True,
                     help="v2 = DRAM-probe floor; v3 = region wall-time "
-                         "anomaly (<= --time-headroom x per-region median "
-                         "over CPU-clean rounds)")
+                         "anomaly (<= --time-headroom x per-region MEDIAN "
+                         "over CPU-clean rounds); v4 = same vs the "
+                         "per-region MIN (run_scaling's live default)")
     ap.add_argument("--time-headroom", type=float, default=1.3)
     ap.add_argument("--mem-frac", type=float, default=0.75)
     ap.add_argument("--steal-cut", type=float, default=2.0)
@@ -68,6 +74,8 @@ def main() -> None:
     _apply_mem_rule(rounds, frac=args.mem_frac, steal_cut=args.steal_cut)
     if args.rule == "v3":
         _apply_time_rule(rounds, headroom=args.time_headroom)
+    elif args.rule == "v4":
+        _apply_time_rule_v4(rounds, headroom=args.time_headroom)
     clean = [r for r in rounds if r["clean"]]
     reclassified = [r["round"] for r in rounds
                     if bool(r["clean"]) != dict(v1)[r["round"]]]
@@ -76,10 +84,13 @@ def main() -> None:
         "baseline_json": args.baseline_json,
         "mem_rule": ("v2 guarded-reference (see tools/run_scaling.py)"
                      if args.rule == "v2" else
-                     "v3 time-anomaly (binding; v2 probe floor recorded "
-                     "per round as mem_clean diagnostics)"),
+                     f"{args.rule} time-anomaly "
+                     f"({'min' if args.rule == 'v4' else 'median'} anchor; "
+                     "binding; v2 probe floor recorded per round as "
+                     "mem_clean diagnostics)"),
         "rule": args.rule,
-        "time_headroom": args.time_headroom if args.rule == "v3" else None,
+        "time_headroom": (args.time_headroom
+                          if args.rule in ("v3", "v4") else None),
         "mem_frac": args.mem_frac,
         "steal_cut_pct": args.steal_cut,
         "n_rounds": len(rounds),

@@ -160,13 +160,39 @@ def _apply_time_rule(rounds: list[dict], headroom: float = 1.3) -> None:
     stays recorded in every round as corroborating diagnostics (fresh2:
     every v3-excluded round also shows a depressed probe reading in its
     slow region)."""
+    _apply_time_anchor_rule(rounds, headroom=headroom, anchor="median")
+
+
+def _apply_time_rule_v4(rounds: list[dict], headroom: float = 1.3) -> None:
+    """Cleanliness rule v4 (registered 2026-08-21, BEFORE any round-5
+    protocol run; ADVICE r4 #1): identical to v3 except the per-region
+    reference is the MIN over CPU-clean rounds, not the median.
+
+    Why: contamination is strictly one-sided slow (each region runs
+    identical work, so the fastest CPU-clean observation IS the quiet-host
+    truth), and a median reference is captured whenever half or more of
+    the CPU-clean rounds are stalled — verified on r4 data: 3 of 4 rounds
+    at ~2x quiet time all classified time_clean at headroom 1.3, because
+    the median sat at the stalled value. A min reference cannot be
+    captured by any number of slow rounds; the cost is a tighter effective
+    headroom when quiet-round variance is high, which the recorded
+    headroom (1.3) covers (observed quiet-round spread on this host is
+    well under 15%). A wall-time region cannot be anomalously FAST — there
+    is no mechanism that makes identical work finish early — so the min is
+    not glitch-sensitive the way a min over gauge readings would be."""
+    _apply_time_anchor_rule(rounds, headroom=headroom, anchor="min")
+
+
+def _apply_time_anchor_rule(rounds: list[dict], headroom: float,
+                            anchor: str) -> None:
     ref_rounds = [r for r in rounds if r.get("clean_cpu", False)]
     if len(ref_rounds) < 2:
         ref_rounds = rounds
+    anchor_fn = min if anchor == "min" else statistics.median
     ref = {}
     for k in _TIME_KEYS:
         vals = [r[k] for r in ref_rounds if r.get(k, 0.0) > 0.0]
-        ref[k] = statistics.median(vals) if vals else 0.0
+        ref[k] = anchor_fn(vals) if vals else 0.0
     for r in rounds:
         r["time_clean"] = all(
             ref[k] <= 0.0 or r.get(k, 0.0) <= headroom * ref[k]
@@ -196,19 +222,22 @@ def main() -> None:
     ap.add_argument("--n-images", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES",
                                                "32000000")))
-    ap.add_argument("--clean-rule", choices=("v2", "v3"), default="v3",
-                    help="third cleanliness instrument: 'v2' = DRAM-probe "
+    ap.add_argument("--clean-rule", choices=("v2", "v3", "v4"), default="v4",
+                    help="third cleanliness check: 'v2' = DRAM-probe "
                          "floor (>= --mem-frac x per-region best among "
-                         "CPU-clean rounds), 'v3' (default; registered "
-                         "2026-08-20 after fresh2 starved v2 — see "
-                         "SCALING_NOTES_r04 §11) = region wall time <= "
-                         "--time-headroom x per-region MEDIAN among "
-                         "CPU-clean rounds. Both flags are recorded per "
-                         "round either way; only the selected rule binds.")
+                         "CPU-clean rounds), 'v3' (registered 2026-08-20 "
+                         "after fresh2 starved v2 — see SCALING_NOTES_r04 "
+                         "§11) = region wall time <= --time-headroom x "
+                         "per-region MEDIAN among CPU-clean rounds, 'v4' "
+                         "(default; registered 2026-08-21 per ADVICE r4: "
+                         "the median reference is captured when >=half the "
+                         "CPU-clean rounds are stalled) = same but the "
+                         "reference is the per-region MIN. All flags are "
+                         "recorded per round; only the selected rule binds.")
     ap.add_argument("--time-headroom", type=float, default=1.3,
-                    help="v3: a region running above this multiple of its "
-                         "cross-round CPU-clean median wall time marks the "
-                         "round contaminated")
+                    help="v3/v4: a region running above this multiple of "
+                         "its cross-round CPU-clean reference wall time "
+                         "(v3 median, v4 min) marks the round contaminated")
     ap.add_argument("--gate-estimator", choices=("scan", "agg", "mix"),
                     default="mix",
                     help="calibration denominator for the gate figure: "
@@ -240,6 +269,8 @@ def main() -> None:
                         steal_cut=args.steal_cut)
         if args.clean_rule == "v3":
             _apply_time_rule(rounds, headroom=args.time_headroom)
+        elif args.clean_rule == "v4":
+            _apply_time_rule_v4(rounds, headroom=args.time_headroom)
         n_clean = sum(bool(r["clean"]) for r in rounds)
         print(f"[run_scaling] resumed {len(rounds)} rounds "
               f"({n_clean} clean after re-applying the mem rule at "
@@ -350,6 +381,8 @@ def main() -> None:
                         steal_cut=args.steal_cut)
         if args.clean_rule == "v3":
             _apply_time_rule(rounds, headroom=args.time_headroom)
+        elif args.clean_rule == "v4":
+            _apply_time_rule_v4(rounds, headroom=args.time_headroom)
         rd_now = rounds[-1]
         print(f"[run_scaling] round {i + 1}: {rd_now}", flush=True)
         n_clean = sum(r["clean"] for r in rounds)
@@ -404,12 +437,13 @@ def main() -> None:
                     f"< {args.steal_cut}% (own-load instrument: host busy "
                     "ticks minus benchmark-tree ticks) AND "
                     + (f"wall time <= {args.time_headroom}x the per-region "
-                       "MEDIAN over CPU-clean rounds (rule v3 — identical "
-                       "work per region, so a CPU-quiet region running "
-                       "slower is stalled by contention invisible to the "
-                       "CPU gauges; the in-region DRAM probe is recorded "
-                       "as corroborating diagnostics)"
-                       if args.clean_rule == "v3" else
+                       f"{'MIN' if args.clean_rule == 'v4' else 'MEDIAN'} "
+                       f"over CPU-clean rounds (rule {args.clean_rule} — "
+                       "identical work per region, so a CPU-quiet region "
+                       "running slower is stalled by contention invisible "
+                       "to the CPU gauges; the in-region DRAM probe is "
+                       "recorded as corroborating diagnostics)"
+                       if args.clean_rule in ("v3", "v4") else
                        f"in-region DRAM bandwidth >= {args.mem_frac}x the "
                        "cross-round best for that region type among "
                        "CPU-clean rounds only — a reading from a round "
@@ -433,18 +467,29 @@ def main() -> None:
                     f"other-load < {args.steal_cut}%); system-wide probe "
                     f"readings from rounds with foreign CPU load anywhere "
                     f"are invalid references"
-                    + (" — RECORDED ONLY under clean-rule v3, not binding"
-                       if args.clean_rule == "v3" else ""),
+                    + (f" — RECORDED ONLY under clean-rule "
+                       f"{args.clean_rule}, not binding"
+                       if args.clean_rule in ("v3", "v4") else ""),
         "clean_rule": args.clean_rule,
-        "time_rule": (f"v3 time-anomaly: every region's wall time <= "
-                      f"{args.time_headroom}x the per-region MEDIAN over "
-                      f"CPU-clean rounds (identical work per region; a "
-                      f"CPU-quiet region running slower than that is "
+        "time_rule": (f"{args.clean_rule} time-anomaly: every region's "
+                      f"wall time <= {args.time_headroom}x the per-region "
+                      f"{'MIN' if args.clean_rule == 'v4' else 'MEDIAN'} "
+                      f"over CPU-clean rounds (identical work per region; "
+                      f"a CPU-quiet region running slower than that is "
                       f"stalled by contention no CPU gauge can see — "
-                      f"SCALING_NOTES_r04 §11)"
-                      if args.clean_rule == "v3" else None),
+                      f"SCALING_NOTES_r04 §11; v4 min-anchor per ADVICE "
+                      f"r4: a median reference is captured when >=half "
+                      f"the CPU-clean rounds are stalled). NOTE: this "
+                      f"check is OUTCOME-DERIVED (it censors the measured "
+                      f"wall-time distribution), not an independent "
+                      f"instrument like the two CPU gauges; it "
+                      f"discriminates once >=2 CPU-clean reference rounds "
+                      f"exist (v3 needs >=3 — with 2 the median is their "
+                      f"mean and a round ~{2 * args.time_headroom - 1:.2f}x "
+                      f"slower than its pair still passes)"
+                      if args.clean_rule in ("v3", "v4") else None),
         "time_headroom": (args.time_headroom
-                          if args.clean_rule == "v3" else None),
+                          if args.clean_rule in ("v3", "v4") else None),
         "rounds": rounds,
         "n_rounds": len(rounds),
         "n_clean_rounds": len(clean),
@@ -524,13 +569,15 @@ def main() -> None:
         json.dump(result, f, indent=2)
 
     rule3_desc = (
-        f"region wall-time anomaly (rule v3): every timed region's wall "
-        f"time must be <= {args.time_headroom}x the per-region MEDIAN over "
-        f"CPU-clean rounds — each region runs identical work every round, "
-        f"so a CPU-quiet region running slower than that is stalled by "
+        f"region wall-time anomaly (rule {args.clean_rule}): every timed "
+        f"region's wall time must be <= {args.time_headroom}x the "
+        f"per-region "
+        f"{'MIN' if args.clean_rule == 'v4' else 'MEDIAN'} over CPU-clean "
+        f"rounds — each region runs identical work every round, so a "
+        f"CPU-quiet region running slower than that is stalled by "
         f"contention the CPU gauges cannot see; the concurrent DRAM "
         f"probe's per-region readings are recorded as corroboration."
-        if args.clean_rule == "v3" else
+        if args.clean_rule in ("v3", "v4") else
         f"in-region DRAM bandwidth (a concurrent single-thread "
         f"streaming-read probe, ~30 ms sample every 400 ms, median per "
         f"region, round clean iff every region >= {args.mem_frac}x that "
@@ -581,24 +628,34 @@ pinned to every host thread absorbs all neighbor contention while an
 interference but cannot equalize its magnitude, so contaminated rounds are
 excluded by the objective per-run instrument and reported below.
 
-**Three independent contamination instruments** (cut = {args.steal_cut}%):
-(1) hypervisor CPU steal (/proc/stat) — neighbor CPU contention; (2)
-other-process host load (host busy ticks minus benchmark-tree ticks) —
-self-inflicted contention a steal counter cannot see; (3) {rule3_desc}
-Instrument (3) exists because 2026-08-18 attempts recorded rounds with
+**Cleanliness: two independent CPU instruments plus one outcome-derived
+check** (cut = {args.steal_cut}%): (1) hypervisor CPU steal (/proc/stat)
+— neighbor CPU contention; (2) other-process host load (host busy ticks
+minus benchmark-tree ticks) — self-inflicted contention a steal counter
+cannot see; (3) {rule3_desc}
+Check (3) exists because 2026-08-18 attempts recorded rounds with
 steal 0.21% and other-load 1.41% where the 32-wide suite ran 2.2x its
 known-quiet time while the 8-wide exactly reproduced its quiet time —
 neighbor MEMORY contention stalls vCPUs inside busy ticks and is
-invisible to both CPU gauges. Rule history: v2 floored an in-region
-DRAM-bandwidth probe at {args.mem_frac}x the per-region cross-round best
-among CPU-clean rounds; on the fresh2 run its AND of eight max-derived
-floors declassified all 8 CPU-clean rounds while per-region CPU-clean
-probe readings spread up to 3.6x with benchmark phase overlap
-(SCALING_NOTES_r04 §10) — v3 keeps the probe recorded as corroborating
-diagnostics and binds on the region's wall time instead, which for
-identical per-round work measures the same stall directly. The reference
-is taken over CPU-clean rounds only and discriminates once >=2 exist;
-the gate requires >=3 clean rounds regardless.
+invisible to both CPU gauges. Unlike (1) and (2), check (3) is NOT an
+independent instrument: it censors the measured wall-time distribution
+itself (disclosed per ADVICE r4), which is why it anchors on CPU-clean
+rounds and why the gate still requires >=3 clean rounds. Rule history:
+v2 floored an in-region DRAM-bandwidth probe at {args.mem_frac}x the
+per-region cross-round best among CPU-clean rounds; on the fresh2 run
+its AND of eight max-derived floors declassified all 8 CPU-clean rounds
+while per-region CPU-clean probe readings spread up to 3.6x with
+benchmark phase overlap (SCALING_NOTES_r04 §10) — v3 keeps the probe
+recorded as corroborating diagnostics and binds on the region's wall
+time vs the CPU-clean MEDIAN instead. v4 (registered 2026-08-21, before
+any round-5 protocol run) anchors on the CPU-clean MIN: contamination is
+one-sided slow, so the fast tail is the quiet-host truth, and a median
+reference is captured whenever >=half the CPU-clean rounds are stalled
+(verified on r4 data: 3 of 4 rounds at ~2x quiet time all classified
+time_clean under v3 at headroom {args.time_headroom}). The min reference
+discriminates once >=2 CPU-clean rounds exist (v3 needed >=3: with 2 the
+median is their mean and a round ~{2 * args.time_headroom - 1:.2f}x
+slower than its pair still passed).
 
 **Three calibration denominators, all reported** (round-4 refinement,
 registered with rationale in BENCH/SCALING_NOTES_r04.md §3/§3b before this
