@@ -13,12 +13,27 @@ slowdown must be explained or re-measured, never silently recorded
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+# registry merge map (VERDICT r4 #7): old query name -> carrier query; keys
+# starting with "_" are documentation
+_MERGE_MAP_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "BENCH", "merge_map.json")
 
 
 def load(path: str) -> dict:
     d = json.load(open(path))
     return d["parsed"] if "parsed" in d else d
+
+
+def load_merge_map() -> dict[str, str]:
+    try:
+        with open(_MERGE_MAP_PATH) as f:
+            return {k: v for k, v in json.load(f).items()
+                    if not k.startswith("_")}
+    except OSError:
+        return {}
 
 
 def main() -> None:
@@ -27,6 +42,7 @@ def main() -> None:
     prev_p, new_p, out_p = sys.argv[1:4]
     prev, new = load(prev_p), load(new_p)
     pq, nq = prev.get("queries", {}), new.get("queries", {})
+    merges = load_merge_map()
     shared = [k for k in nq if k in pq]
     only_new = [k for k in nq if k not in pq]
     only_prev = [k for k in pq if k not in nq]
@@ -48,10 +64,22 @@ def main() -> None:
         lines.append(f"| {k} | {a:.2f} | {b:.2f} | {pct:+.0f}% | {attr} |")
     if only_new:
         lines += ["", "## New this round (no prior number)", ""]
-        lines += [f"- {k}: {nq[k]:.2f}s" for k in only_new]
+        absorbed = {}
+        for old, carrier in merges.items():
+            if carrier in only_new and old in pq:
+                absorbed.setdefault(carrier, []).append(old)
+        for k in only_new:
+            note = (f" — merged carrier of {', '.join(sorted(absorbed[k]))} "
+                    f"(per BENCH/merge_map.json; prior combined "
+                    f"{sum(pq[o] for o in absorbed[k]):.2f}s)"
+                    if k in absorbed else "")
+            lines.append(f"- {k}: {nq[k]:.2f}s{note}")
     if only_prev:
         lines += ["", "## Dropped/renamed since the prior round", ""]
-        lines += [f"- {k} (was {pq[k]:.2f}s)" for k in only_prev]
+        for k in only_prev:
+            note = (f" — merged into {merges[k]} per BENCH/merge_map.json"
+                    if k in merges else "")
+            lines.append(f"- {k} (was {pq[k]:.2f}s){note}")
     open(out_p, "w").write("\n".join(lines) + "\n")
     print(f"wrote {out_p}: {len(shared)} shared, {len(only_new)} new, "
           f"{len(only_prev)} dropped")
