@@ -3034,6 +3034,12 @@ def q_ann_recall_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
+# INTENTIONALLY the exact-top-1 twin duplicated for BOTH ANN methods: the
+# oracle asserts recall@1 == 1.0 for LSH and IVF at the gate's planted
+# query set. This is a deliberately hard gate — any future parameter
+# loosening (fewer bands/probes, coarser IVF lists) that drops recall
+# below 1.0 FAILS the gate by design rather than quietly reporting
+# recall < 1 (VERDICT r4 #8).
 SQL_ANN_RECALL_EMBEDDINGS = f"""
 SELECT 'lsh' AS method, * FROM ({SQL_EXACT_TOP1_PLANTED.format(alias="neighbor_id")})
 UNION ALL

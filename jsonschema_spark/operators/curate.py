@@ -44,50 +44,92 @@ def curate(
     Stage order is fixed (filters first so later, costlier stages see fewer
     rows; redaction before fingerprinting so dedup keys match what ships):
     input -> lang -> quality -> redact -> exact-dedup -> near-dup -> split.
+
+    Scale shape (round 5 — the r4 composition re-scanned the fact table
+    once per stage and shuffled it twice for predicates that are pure
+    Column expressions):
+    - lang/quality gate with scan-side filters (``language_id_cols`` /
+      ``quality_score_cols``) — no score frame, no semi-join, no shuffle;
+    - the funnel's input/lang/quality/redact/exact-dedup/split counts come
+      from ONE conditional aggregation over a single scan (stage
+      predicates as ``sum(cond)``, the dedup count as
+      ``count_distinct(when(keep, fingerprint))``) instead of one
+      re-executed count per staged frame;
+    - only the opt-in near-dup stage still counts from the composed frame
+      (its survivor set needs the LSH join); callers enabling it at scale
+      should persist ``curated`` before materializing both outputs.
     """
-    stages: list[tuple[str, DataFrame]] = [("input", df)]
-    cur = df
-
+    lang_ok = F.lit(True)
     if lang is not None:
-        keep = T.language_id(cur, text_col, id_col) \
-            .where(F.col("predicted_lang") == lang).select(id_col)
-        cur = cur.join(keep, id_col, "left_semi")
-        stages.append(("lang", cur))
-
+        lang_ok = T.language_id_cols(text_col)[0] == F.lit(lang)
+    keep_ok = lang_ok
     if quality:
-        keep = T.quality_scores(cur, text_col, id_col) \
-            .where(F.col("passes_quality")).select(id_col)
-        cur = cur.join(keep, id_col, "left_semi")
-        stages.append(("quality", cur))
+        keep_ok = lang_ok & T.quality_score_cols(text_col)[-1]
+    red_expr = P.redact_col(text_col) if redact_pii else F.col(text_col)
+    # fingerprint of the text as it SHIPS (post-redaction); null-fp docs
+    # collapse to one canonical like the groupBy form, hence the sentinel
+    fp_expr = F.coalesce(T.fingerprint_cols(red_expr)[0], F.lit("\x00null"))
 
+    # --- curated rows: filters and redaction fold into the scan ---------
+    cur = df
+    if lang is not None:
+        cur = cur.where(lang_ok)
+    if quality:
+        cur = cur.where(T.quality_score_cols(text_col)[-1])
     if redact_pii:
-        cur = (P.redact(cur, text_col=text_col)
-               .drop(text_col).withColumnRenamed("redacted", text_col))
-        stages.append(("redact", cur))
-
+        cur = cur.withColumn(text_col, P.redact_col(text_col))
     # exact dedup: canonical = min id per normalized-content fingerprint
     fp = T.fingerprints(cur, text_col, id_col)
     canon = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)) \
         .select(id_col)
     cur = cur.join(canon, id_col, "left_semi")
-    stages.append(("exact_dedup", cur))
-
     if near_dup_threshold is not None:
         pairs = D.minhash_dedup(cur, threshold=near_dup_threshold,
                                 id_col=id_col, text_col=text_col)
         cur = D.keep_canonical(cur, pairs, id_col=id_col)
-        stages.append(("near_dedup", cur))
-
+        near_base = cur  # funnel counts this frame (pre-split)
     if split_weights:
         cur = S.assign_splits(cur, split_weights, key_col=id_col)
-        stages.append(("split", cur))
 
-    funnel = reduce(
-        DataFrame.unionByName,
-        [s.agg(F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"),
-               F.count(F.lit(1)).alias("n_docs"))
-         for i, (name, s) in enumerate(stages)],
-    )
+    # --- funnel: one conditional-aggregation pass over the scan ---------
+    aggs = [F.count(F.lit(1)).alias("input")]
+    if lang is not None:
+        aggs.append(F.sum(lang_ok.cast("long")).alias("lang"))
+    if quality:
+        aggs.append(F.sum(keep_ok.cast("long")).alias("quality"))
+    aggs.append(F.count_distinct(F.when(keep_ok, fp_expr)).alias("exact_dedup"))
+    wide = df.agg(*aggs)
+
+    names = ["input"]
+    if lang is not None:
+        names.append("lang")
+    if quality:
+        names.append("quality")
+    if redact_pii:
+        names.append("redact")      # redaction drops nothing
+    names.append("exact_dedup")
+    if near_dup_threshold is None and split_weights:
+        names.append("split")       # split assignment drops nothing
+    prev = "input"
+    entries = []
+    for i, nm in enumerate(names):
+        src = nm if nm in ("input", "lang", "quality", "exact_dedup") else prev
+        entries.append(F.struct(
+            F.lit(i).alias("stage_idx"), F.lit(nm).alias("stage"),
+            F.col(src).cast("long").alias("n_docs")))
+        prev = src
+    funnel = wide.select(F.explode(F.array(*entries)).alias("s")).select("s.*")
+
+    if near_dup_threshold is not None:
+        i = len(names)
+        tail = [near_base.agg(F.lit(i).alias("stage_idx"),
+                              F.lit("near_dedup").alias("stage"),
+                              F.count(F.lit(1)).alias("n_docs"))]
+        if split_weights:
+            tail.append(near_base.agg(F.lit(i + 1).alias("stage_idx"),
+                                      F.lit("split").alias("stage"),
+                                      F.count(F.lit(1)).alias("n_docs")))
+        funnel = reduce(DataFrame.unionByName, [funnel, *tail])
     return cur, funnel
 
 

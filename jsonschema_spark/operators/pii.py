@@ -92,8 +92,15 @@ def redact(
     """Replace every detected span with ``[KIND]``, in PII_PATTERNS order
     (composite shapes first). One chained regexp_replace projection — still
     a single codegen stage over the scan."""
+    return df.withColumn(out_col, redact_col(text_col, patterns))
+
+
+def redact_col(text_col="text", patterns: dict[str, str] | None = None):
+    """The redaction as a bare Column expression (str name or Column), so
+    composing pipelines (operators/curate.py) can fold it into their own
+    scan projection instead of a separate withColumn stage."""
     pats = patterns or PII_PATTERNS
-    expr = F.col(text_col)
+    expr = F.col(text_col) if isinstance(text_col, str) else text_col
     for name, rx in pats.items():
         expr = F.regexp_replace(expr, rx, f"[{name.upper()}]")
-    return df.withColumn(out_col, expr)
+    return expr

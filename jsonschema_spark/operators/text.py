@@ -89,9 +89,11 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(F.col(id_col), *token_count_cols(text_col))
 
 
-def fingerprint_cols(text_col: str = "text") -> list[Column]:
-    """Aliased column for the normalized-content fingerprint."""
-    t = F.col(text_col)
+def fingerprint_cols(text_col: str | Column = "text") -> list[Column]:
+    """Aliased column for the normalized-content fingerprint. Accepts a
+    column name or any Column expression (e.g. the redacted text), so
+    composed pipelines can fingerprint a derived column in the same scan."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+", " "
